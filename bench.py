@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Headline benchmark: MNIST conv-VAE training throughput
+(samples/sec/chip) on TPU vs. the torch-CPU reference.
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+* value      — our jitted train-step throughput on the one real chip
+               (VanillaVAE, conv encoder + MLP decoder, MNIST shapes,
+               batch 256 — the reference's default model family,
+               main.py:445-467 / complexity_benchmark.py:199-207).
+* vs_baseline — value / (reference torch implementation on this host's
+               CPU, same model family/shapes). The reference publishes
+               no numbers (BASELINE.md), so the baseline is measured by
+               importing the reference from /root/reference and timing
+               its own training step. The measurement is cached in
+               .bench_baseline.json.
+
+All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+BATCH = 256
+BENCH_STEPS = 30
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+REFERENCE_PATH = "/root/reference"
+
+
+def log(*args):
+    print(*args, file=sys.stderr, flush=True)
+
+
+def measure_tpu_throughput():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from vae_song_tpu.models import VanillaVAE
+    from vae_song_tpu.train.state import TrainState, make_optimizer
+    from vae_song_tpu.train.steps import make_train_step
+    from vae_song_tpu.train.loop import init_model
+
+    model = VanillaVAE.for_dataset("mnist", encoder_type="conv", decoder_type="mlp", beta=1.0)
+    rng = np.random.default_rng(0)
+    x_host = rng.uniform(size=(BATCH, 28, 28, 1)).astype(np.float32)
+
+    params, batch_stats = init_model(model, x_host, seed=0)
+    tx = make_optimizer(lr=1e-2, total_steps=10_000)
+    state = TrainState.create(params, batch_stats, tx)
+    step = make_train_step(model, tx)
+
+    x = jnp.asarray(x_host)
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup
+    t0 = time.time()
+    state, m = step(state, x, jnp.float32(0.0), key)
+    jax.block_until_ready(m["loss"])
+    log(f"compile+first step: {time.time()-t0:.1f}s on {jax.devices()[0]}")
+    for i in range(3):
+        state, m = step(state, x, jnp.float32(0.0), jax.random.fold_in(key, i))
+    jax.block_until_ready(m["loss"])
+
+    t0 = time.time()
+    for i in range(BENCH_STEPS):
+        state, m = step(state, x, jnp.float32(0.0), jax.random.fold_in(key, 100 + i))
+    jax.block_until_ready(m["loss"])
+    dt = time.time() - t0
+    sps = BATCH * BENCH_STEPS / dt
+    log(f"tpu: {BENCH_STEPS} steps in {dt:.3f}s -> {sps:.0f} samples/sec")
+    return sps
+
+
+def measure_torch_baseline():
+    """Time the reference's own VanillaVAE train step on CPU torch.
+    Imported from /root/reference (measurement only — no code copied)."""
+    if os.path.exists(BASELINE_CACHE):
+        try:
+            with open(BASELINE_CACHE) as f:
+                cached = json.load(f)
+            log(f"using cached torch baseline: {cached['samples_per_sec']:.1f} samples/sec")
+            return cached["samples_per_sec"]
+        except Exception:
+            pass
+    try:
+        import torch
+
+        sys.path.insert(0, REFERENCE_PATH)
+        import model as RefModel  # noqa: the reference's model.py
+
+        torch.manual_seed(0)
+        torch.set_num_threads(os.cpu_count() or 1)
+        m = RefModel.VanillaVAE(
+            beta=1.0, dataset="mnist", hidden_channels=None,
+            encoder_type="conv", decoder_type="mlp",
+            fixed_var=False, residual_connection=False,
+        )
+        opt = torch.optim.Adam(m.parameters(), lr=1e-2)
+        x = torch.rand(BATCH, 1, 28, 28)
+        steps = 4
+        # warmup
+        result = m(x, L=1)
+        loss, *_ = m.loss(x, *result)
+        opt.zero_grad(); loss.backward(); opt.step()
+        t0 = time.time()
+        for _ in range(steps):
+            result = m(x, L=1)
+            loss, *_ = m.loss(x, *result)
+            opt.zero_grad(); loss.backward(); opt.step()
+        dt = time.time() - t0
+        sps = BATCH * steps / dt
+        log(f"torch-cpu reference: {steps} steps in {dt:.3f}s -> {sps:.1f} samples/sec")
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"samples_per_sec": sps, "batch": BATCH, "host_cpus": os.cpu_count()}, f)
+        return sps
+    except Exception as e:  # reference unavailable -> no ratio
+        log(f"torch baseline unavailable: {e}")
+        return None
+
+
+def main():
+    value = measure_tpu_throughput()
+    baseline = measure_torch_baseline()
+    vs = (value / baseline) if baseline else -1.0
+    print(json.dumps({
+        "metric": "mnist_conv_vae_train_throughput",
+        "value": round(value, 1),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

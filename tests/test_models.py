@@ -1,0 +1,143 @@
+"""Model-zoo shape/dtype tests under jit, + ICNN convexity and Brenier
+monotonicity for LID-VAE."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vae_song_tpu.models import (
+    VanillaVAE,
+    LRVAE,
+    NaiveAE,
+    LIDVAE,
+    SetVAE,
+    SetLRVAE,
+)
+from vae_song_tpu.nn.blocks import ICNN
+
+
+def _init_apply(model, x, key, **kwargs):
+    variables = model.init({"params": key, "sampling": key}, x, train=True, **kwargs)
+    outs, mut = model.apply(
+        variables, x, train=True, rngs={"sampling": key},
+        mutable=["batch_stats"], **kwargs,
+    )
+    return variables, outs
+
+
+def test_lrvae_pinwheel_shapes(key):
+    m = LRVAE.for_dataset("pinwheel", encoder_type="mlp", decoder_type="mlp",
+                          beta=0.01, alpha=0.1)
+    x = jax.random.normal(key, (8, 2))
+    _, outs = _init_apply(m, x, key, L=3)
+    recon, mu, log_var, z, z_rec = outs
+    assert recon.shape == (8, 2)
+    assert mu.shape == (8, 2) and log_var.shape == (8, 2)
+    assert z.shape == (3, 8, 2) and z_rec.shape == (3, 8, 2)
+    total, rec, reg, lr = m.loss(x, *outs, wu_alpha=0.5)
+    assert np.isfinite(float(total))
+    # composite identity: total = rec + reg_scaled + lr_scaled
+    assert float(total) == pytest.approx(float(rec) + float(reg) + float(lr), rel=1e-5)
+
+
+def test_z_is_stop_gradient(key):
+    """z stack returned by forward must carry no gradient (detach parity)."""
+    m = LRVAE.for_dataset("pinwheel", encoder_type="mlp", decoder_type="mlp")
+    x = jax.random.normal(key, (4, 2))
+    variables = m.init({"params": key, "sampling": key}, x, train=True)
+
+    def z_sum(params):
+        outs, _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"sampling": key}, mutable=["batch_stats"],
+        )
+        return outs[3].sum()
+
+    g = jax.grad(z_sum)(variables["params"])
+    assert all(float(jnp.abs(v).max()) == 0.0 for v in jax.tree.leaves(g))
+
+
+def test_vanilla_vae_mnist_mlp(key):
+    m = VanillaVAE.for_dataset("mnist", hidden_channels=(8, 8), encoder_type="mlp",
+                               decoder_type="mlp")
+    x = jax.random.uniform(key, (4, 28, 28, 1))
+    _, outs = _init_apply(m, x, key)
+    assert outs[0].shape == (4, 28, 28, 1)
+    assert outs[1].shape == (4, 28)
+
+
+def test_naive_ae_loss_is_mse_only(key):
+    m = NaiveAE.for_dataset("pinwheel", encoder_type="mlp", decoder_type="mlp")
+    x = jax.random.normal(key, (4, 2))
+    _, outs = _init_apply(m, x, key)
+    total, rec, reg, lr = m.loss(x, *outs)
+    assert float(total) == pytest.approx(float(rec))
+    assert float(reg) == 0.0 and float(lr) == 0.0
+
+
+def test_icnn_convexity(key):
+    """ICNN must be convex: f(tx + (1-t)y) <= t f(x) + (1-t) f(y)."""
+    icnn = ICNN(hidden_channel=16)
+    x = jax.random.normal(key, (32, 2))
+    y = jax.random.normal(jax.random.fold_in(key, 1), (32, 2))
+    params = icnn.init(key, x)
+    f = lambda v: icnn.apply(params, v)
+    for t in (0.25, 0.5, 0.75):
+        lhs = f(t * x + (1 - t) * y)
+        rhs = t * f(x) + (1 - t) * f(y)
+        assert np.all(np.asarray(lhs) <= np.asarray(rhs) + 1e-5)
+
+
+def test_lidvae_brenier_monotone(key):
+    """grad of a convex potential is a monotone map:
+    <T(z1) - T(z2), z1 - z2> >= 0."""
+    m = LIDVAE.for_dataset("pinwheel", hidden_channels=(8, 8, 2), icnn_channels=(16, 16))
+    x = jax.random.normal(key, (8, 2))
+    variables = m.init({"params": key, "sampling": key}, x, train=True)
+
+    z1 = jax.random.normal(jax.random.fold_in(key, 2), (64, 2))
+    z2 = jax.random.normal(jax.random.fold_in(key, 3), (64, 2))
+    d1 = m.apply(variables, z1, train=False, method="decode")
+    d2 = m.apply(variables, z2, train=False, method="decode")
+    inner = ((np.asarray(d1) - np.asarray(d2)) * np.asarray(z1 - z2)).sum(axis=1)
+    assert np.all(inner >= -1e-4)
+
+
+def test_lidvae_trainable_through_decode(key):
+    """Differentiating through the Brenier decode (second-order) works."""
+    m = LIDVAE.for_dataset("pinwheel", hidden_channels=(8, 2), icnn_channels=(8, 8))
+    x = jax.random.normal(key, (4, 2))
+    variables = m.init({"params": key, "sampling": key}, x, train=True)
+
+    def loss_fn(params):
+        outs, _ = m.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            x, train=True, rngs={"sampling": key}, mutable=["batch_stats"],
+        )
+        total, *_ = m.loss(x, *outs)
+        return total
+
+    g = jax.grad(loss_fn)(variables["params"])
+    flat = jax.tree.leaves(g)
+    assert all(np.isfinite(np.asarray(v)).all() for v in flat)
+    assert any(float(jnp.abs(v).sum()) > 0 for v in flat)
+
+
+def test_setvae_shapes(key):
+    m = SetVAE(latent_channel=8, num_points=32, d_model=16, num_heads=2, ff_dim=32)
+    pts = jax.random.normal(key, (2, 32, 3))
+    _, outs = _init_apply(m, pts, key)
+    assert outs[0].shape == (2, 32, 3)
+    total, rec, reg, lr = m.loss(pts, *outs)
+    assert np.isfinite(float(total))
+
+
+def test_setlrvae_latent_recon_path(key):
+    m = SetLRVAE(latent_channel=8, num_points=16, use_attention=False,
+                 encoder_hidden=(16,), decoder_hidden=(16,), alpha=0.1)
+    pts = jax.random.normal(key, (2, 16, 3))
+    _, outs = _init_apply(m, pts, key)
+    assert outs[4] is not None and outs[4].shape == (2, 8)
+    total, rec, reg, lr = m.loss(pts, *outs, wu_alpha=1.0)
+    assert float(lr) > 0

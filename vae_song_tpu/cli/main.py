@@ -1,0 +1,68 @@
+"""Experiment driver CLI — `python -m vae_song_tpu.cli.main --config
+<yaml>`, the equivalent of main.py:395-590: loads the YAML, grid-sweeps
+hyperparameters per experiment_type, and runs train_and_test for every
+sweep point."""
+
+import argparse
+
+from vae_song_tpu.config import load_config, resolve_names, sweep_grid
+from vae_song_tpu.models import build_model
+from vae_song_tpu.train.loop import train_and_test
+
+
+def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
+                   fake_data: bool = False):
+    config = load_config(config_path)
+    exp_type = config["experiment_type"]
+    common = config["common_params"]
+    mp = config["model_params"]
+    logfilename, resultname = resolve_names(config)
+    dataset_params = dict(common.get("dataset_params") or {})
+    if fake_data:
+        dataset_params["fake"] = True
+
+    results = []
+    for point in sweep_grid(config):
+        model = build_model(
+            exp_type,
+            common["exp_data"],
+            mp,
+            beta=point["beta"],
+            alpha=point["alpha"],
+            il=point["il"],
+        )
+        state, summary = train_and_test(
+            model,
+            epochs=common["exp_epochs"],
+            batch_size=common["batch_size"],
+            dataset_name=common["exp_data"],
+            logfilename=logfilename,
+            resultname=resultname,
+            pt_param=common.get("pt_param"),
+            num_mc_samples=mp.get("num_mc_samples", 1),
+            grad_clip=common.get("grad_clip"),
+            wu_strat=common.get("wu_strat", "linear"),
+            seed=seed + point["rep"],
+            dataset_params=dataset_params,
+            output_root=output_root,
+        )
+        results.append(summary)
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser(description="vae_song_tpu experiment driver")
+    parser.add_argument("--config", type=str,
+                        default="./configs/config_shapenet_setvae.yaml",
+                        help="config file path")
+    parser.add_argument("--output_root", type=str, default=".")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--fake_data", action="store_true",
+                        help="use synthetic stand-in data for datasets that "
+                             "need downloads (no-egress environments)")
+    args = parser.parse_args()
+    run_experiment(args.config, args.output_root, args.seed, args.fake_data)
+
+
+if __name__ == "__main__":
+    main()

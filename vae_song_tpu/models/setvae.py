@@ -1,0 +1,268 @@
+"""SetVAE / SetLRVAE for 3-D point clouds (model.py:889-1114).
+
+Permutation-invariant encoders (DeepSets MLP or transformer), fixed-N
+set decoders (query-MLP or cross-attention transformer), Chamfer
+reconstruction loss.
+
+The transformer layers reproduce torch's nn.TransformerEncoderLayer /
+nn.TransformerDecoderLayer defaults used by the reference
+(model.py:950-992): post-LayerNorm residuals, ReLU feed-forward,
+batch_first, dropout (0.0 in all shipped configs — we run dropout-free,
+matching the configs).
+
+Attention itself is XLA's fused dot-product attention over the N=2048
+point axis — large, static, MXU-friendly matmuls.
+"""
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from vae_song_tpu.nn.blocks import Dense, BatchNorm
+from vae_song_tpu.ops import losses
+from vae_song_tpu.ops.chamfer import chamfer_distance
+
+
+class TransformerEncoderLayer(nn.Module):
+    """torch nn.TransformerEncoderLayer (post-norm, ReLU FFN)."""
+
+    d_model: int
+    num_heads: int
+    ff_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        attn = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+        )(x, x)
+        x = nn.LayerNorm(epsilon=1e-5)(x + attn)
+        ff = Dense(self.ff_dim)(x)
+        ff = nn.relu(ff)
+        ff = Dense(self.d_model)(ff)
+        return nn.LayerNorm(epsilon=1e-5)(x + ff)
+
+
+class TransformerDecoderLayer(nn.Module):
+    """torch nn.TransformerDecoderLayer: self-attn, cross-attn, FFN."""
+
+    d_model: int
+    num_heads: int
+    ff_dim: int
+
+    @nn.compact
+    def __call__(self, tgt, memory):
+        sa = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+        )(tgt, tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5)(tgt + sa)
+        ca = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads,
+            qkv_features=self.d_model,
+            out_features=self.d_model,
+        )(tgt, memory)
+        tgt = nn.LayerNorm(epsilon=1e-5)(tgt + ca)
+        ff = Dense(self.ff_dim)(tgt)
+        ff = nn.relu(ff)
+        ff = Dense(self.d_model)(ff)
+        return nn.LayerNorm(epsilon=1e-5)(tgt + ff)
+
+
+class SetEncoder(nn.Module):
+    """DeepSets per-point MLP + pooling -> (mu, logvar) (model.py:915-947)."""
+
+    hidden_dims: Tuple[int, ...] = (128, 256, 512)
+    latent_dim: int = 128
+    pool_type: str = "max"
+
+    @nn.compact
+    def __call__(self, points, train: bool = False):
+        x = points  # [B, N, 3]
+        for h in self.hidden_dims:
+            x = Dense(h)(x)
+            x = BatchNorm()(x, train)
+            x = nn.relu(x)
+        if self.pool_type == "mean":
+            s = x.mean(axis=1)
+        elif self.pool_type == "sum":
+            s = x.sum(axis=1)
+        else:
+            s = x.max(axis=1)
+        return Dense(self.latent_dim)(s), Dense(self.latent_dim)(s)
+
+
+class SetEncoderAttn(nn.Module):
+    """Transformer set encoder + max-pool (model.py:950-969)."""
+
+    latent_dim: int = 128
+    d_model: int = 256
+    num_heads: int = 4
+    num_layers: int = 2
+    ff_dim: int = 512
+
+    @nn.compact
+    def __call__(self, points, train: bool = False):
+        x = Dense(self.d_model)(points)
+        for _ in range(self.num_layers):
+            x = TransformerEncoderLayer(self.d_model, self.num_heads, self.ff_dim)(x)
+        s = x.max(axis=1)  # AdaptiveMaxPool1d(1) over points
+        return Dense(self.latent_dim)(s), Dense(self.latent_dim)(s)
+
+
+class SetDecoder(nn.Module):
+    """Learned per-point queries concat latent -> shared MLP
+    (model.py:994-1025)."""
+
+    latent_dim: int = 128
+    num_points: int = 2048
+    hidden_dims: Tuple[int, ...] = (512, 256, 128)
+    point_dim: int = 3
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        b = z.shape[0]
+        queries = self.param(
+            "point_queries",
+            lambda k, s: jax.random.normal(k, s) * 0.02,
+            (self.num_points, 64),
+        )
+        q = jnp.broadcast_to(queries[None], (b, self.num_points, 64))
+        ze = jnp.broadcast_to(z[:, None, :], (b, self.num_points, z.shape[-1]))
+        x = jnp.concatenate([ze, q], axis=-1)
+        for h in self.hidden_dims:
+            x = Dense(h)(x)
+            x = BatchNorm()(x, train)
+            x = nn.relu(x)
+        return Dense(self.point_dim)(x)
+
+
+class SetDecoderAttn(nn.Module):
+    """Query embeddings cross-attending to a single latent memory token
+    (model.py:972-992)."""
+
+    latent_dim: int = 128
+    num_points: int = 2048
+    d_model: int = 256
+    num_heads: int = 4
+    num_layers: int = 2
+    ff_dim: int = 512
+
+    @nn.compact
+    def __call__(self, z, train: bool = False):
+        b = z.shape[0]
+        queries = self.param(
+            "query_embed",
+            lambda k, s: jax.random.normal(k, s) * 0.02,
+            (self.num_points, self.d_model),
+        )
+        memory = Dense(self.d_model)(z)[:, None, :]  # [B, 1, d_model]
+        x = jnp.broadcast_to(queries[None], (b, self.num_points, self.d_model))
+        for _ in range(self.num_layers):
+            x = TransformerDecoderLayer(self.d_model, self.num_heads, self.ff_dim)(x, memory)
+        return Dense(3)(x)
+
+
+class SetVAE(nn.Module):
+    """Point-cloud VAE (model.py:1028-1084). Chamfer + beta*KL loss;
+    trains with the composite gradient (aux terms are detached in the
+    reference, model.py:1084)."""
+
+    latent_channel: int = 128
+    num_points: int = 2048
+    encoder_hidden: Tuple[int, ...] = (128, 256, 512)
+    decoder_hidden: Tuple[int, ...] = (512, 256, 128)
+    beta: float = 1.0
+    is_log_mse: bool = False  # unused for sets; API compat
+    pool_type: str = "max"
+    use_attention: bool = True
+    d_model: int = 256
+    num_heads: int = 4
+    num_encoder_layers: int = 2
+    num_decoder_layers: int = 2
+    ff_dim: int = 512
+    attn_dropout: float = 0.0
+    data_type: str = "set"
+    grad_mode: str = "composite"
+
+    def setup(self):
+        if self.use_attention:
+            self.encoder = SetEncoderAttn(
+                latent_dim=self.latent_channel,
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                num_layers=self.num_encoder_layers,
+                ff_dim=self.ff_dim,
+            )
+            self.decoder = SetDecoderAttn(
+                latent_dim=self.latent_channel,
+                num_points=self.num_points,
+                d_model=self.d_model,
+                num_heads=self.num_heads,
+                num_layers=self.num_decoder_layers,
+                ff_dim=self.ff_dim,
+            )
+        else:
+            self.encoder = SetEncoder(
+                hidden_dims=self.encoder_hidden,
+                latent_dim=self.latent_channel,
+                pool_type=self.pool_type,
+            )
+            self.decoder = SetDecoder(
+                latent_dim=self.latent_channel,
+                num_points=self.num_points,
+                hidden_dims=self.decoder_hidden,
+            )
+
+    def encode(self, x, train: bool = False):
+        return self.encoder(x, train)
+
+    def decode(self, z, train: bool = False):
+        return self.decoder(z, train)
+
+    def __call__(self, x, L: int = 1, latent_rand_sampling: bool = True, train: bool = False):
+        mu, log_var = self.encode(x, train)
+        if latent_rand_sampling:
+            eps = jax.random.normal(self.make_rng("sampling"), mu.shape, mu.dtype)
+            z = mu + eps * jnp.exp(0.5 * log_var)
+        else:
+            z = mu
+        recon = self.decode(z, train)
+        return recon, mu, log_var, z, None
+
+    def loss(self, x, recon, mu, log_var, z_input=None, z_recon=None, wu_alpha: float = 0.0):
+        loss_recon = chamfer_distance(recon, x)
+        loss_reg = losses.kl_divergence(mu, log_var)
+        total = loss_recon + self.beta * loss_reg
+        return total, loss_recon, loss_reg, jnp.zeros(())
+
+
+class SetLRVAE(SetVAE):
+    """SetVAE + latent reconstruction (model.py:1087-1114): decode from
+    a detached z, re-encode, add alpha*warmup*MSE(z, z_hat). All loss
+    terms are composed into one backward (reference detaches the aux
+    terms, model.py:1114)."""
+
+    alpha: float = 0.01
+
+    def __call__(self, x, L: int = 1, latent_rand_sampling: bool = True, train: bool = False):
+        mu, log_var = self.encode(x, train)
+        if latent_rand_sampling:
+            eps = jax.random.normal(self.make_rng("sampling"), mu.shape, mu.dtype)
+            z = mu + eps * jnp.exp(0.5 * log_var)
+        else:
+            z = mu
+        recon = self.decode(jax.lax.stop_gradient(z), train)
+        z_recon, _ = self.encode(recon, train)
+        return recon, mu, log_var, z, z_recon
+
+    def loss(self, x, recon, mu, log_var, z_input, z_recon, wu_alpha: float = 0.0):
+        loss_recon = chamfer_distance(recon, x)
+        loss_reg = losses.kl_divergence(mu, log_var)
+        loss_lr = losses.latent_recon_loss(z_input, z_recon)
+        total = loss_recon + self.beta * loss_reg + self.alpha * wu_alpha * loss_lr
+        return total, loss_recon, self.beta * loss_reg, self.alpha * wu_alpha * loss_lr

@@ -1,0 +1,31 @@
+from vae_song_tpu.nn.initializers import (
+    torch_linear_kernel_init,
+    torch_bias_init,
+    torch_positive_linear_init,
+)
+from vae_song_tpu.nn.blocks import (
+    Dense,
+    Conv,
+    MLPBlock,
+    ResidualMLPBlock,
+    ResidualConvBlock,
+    PlainConvolution,
+    PositiveLinear,
+    ICNN,
+    LinearModuleEP,
+)
+
+__all__ = [
+    "torch_linear_kernel_init",
+    "torch_bias_init",
+    "torch_positive_linear_init",
+    "Dense",
+    "Conv",
+    "MLPBlock",
+    "ResidualMLPBlock",
+    "ResidualConvBlock",
+    "PlainConvolution",
+    "PositiveLinear",
+    "ICNN",
+    "LinearModuleEP",
+]

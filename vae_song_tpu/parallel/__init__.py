@@ -1,0 +1,15 @@
+from vae_song_tpu.parallel.mesh import (
+    make_mesh,
+    replicate_state,
+    shard_batch,
+    make_dp_train_step,
+    make_dp_eval_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "replicate_state",
+    "shard_batch",
+    "make_dp_train_step",
+    "make_dp_eval_step",
+]

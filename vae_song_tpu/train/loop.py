@@ -1,0 +1,321 @@
+"""End-to-end train/eval driver — the equivalent of main.train_and_test
+(main.py:174-393), built on jitted steps and the host data pipeline.
+
+Everything hot is compiled once per (model, shapes): per-epoch host
+work is limited to batch indexing, H2D enqueue, and the (scalar)
+warmup-alpha update.
+"""
+
+import os
+import time
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vae_song_tpu import data as data_lib
+from vae_song_tpu.data.pipeline import iterate_batches, num_batches
+from vae_song_tpu.ops.warmup import warmup_alpha
+from vae_song_tpu.ops import metrics as metrics_lib
+from vae_song_tpu.train.state import TrainState, make_optimizer
+from vae_song_tpu.train.steps import make_train_step, make_eval_step, make_apply_fns
+from vae_song_tpu.train import loggers, checkpoint as ckpt_lib
+from vae_song_tpu import viz
+
+
+def synth_run_name(model, alpha=None) -> str:
+    """Run-name synthesis (main.py:211-219)."""
+    name = type(model).__name__ + datetime.now().strftime(" %m%d%H%M")
+    if not type(model).__name__.startswith("NaiveAE"):
+        name += "_b=" + str(float(model.beta))
+    if type(model).__name__.startswith(("LR", "SetLR")):
+        name += "_a=" + str(model.alpha if alpha is None else alpha)
+    if getattr(model, "is_log_mse", False):
+        name += "_logmse"
+    if type(model).__name__ == "LIDVAE":
+        name += "_il=" + str(float(model.inverse_lipschitz) / 2.0)
+    return name
+
+
+def init_model(model, sample_x, seed=0, L=1):
+    key = jax.random.PRNGKey(seed)
+    k_params, k_sampling = jax.random.split(key)
+    variables = model.init(
+        {"params": k_params, "sampling": k_sampling},
+        jnp.asarray(sample_x),
+        L=L,
+        train=True,
+    )
+    return variables["params"], variables.get("batch_stats", {})
+
+
+def train_and_test(
+    model,
+    epochs: int = 100,
+    batch_size: int = 128,
+    dataset_name: str = "mnist",
+    logfilename: str = "log.csv",
+    resultname: str = "res",
+    pt_param: str | None = None,
+    num_mc_samples: int = 1,
+    grad_clip: dict | None = None,
+    wu_strat: str = "linear",
+    seed: int = 42,
+    dataset_params: dict | None = None,
+    output_root: str = ".",
+    lr: float = 1e-2,
+    use_cosine: bool = True,
+    visualize_artifacts: bool = True,
+    checkpoint_every: int | None = None,
+    progress: bool = True,
+):
+    """Returns (state, summary dict)."""
+    dataset_params = dataset_params or {}
+    train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
+    data_type = "1d" if dataset_name in ("pinwheel", "chessboard") else "2d"
+    if getattr(model, "data_type", None) == "set":
+        data_type = "set"
+
+    steps_per_epoch = num_batches(train_ds, batch_size)
+    if steps_per_epoch == 0:
+        raise ValueError("Dataset smaller than one batch")
+
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+    params, batch_stats = init_model(
+        model, train_ds.X[:batch_size], seed=seed, L=num_mc_samples
+    )
+
+    tx = make_optimizer(
+        lr=lr,
+        total_steps=epochs * steps_per_epoch if use_cosine else None,
+        grad_clip=grad_clip,
+    )
+    state = TrainState.create(params, batch_stats, tx)
+
+    if pt_param is not None:
+        if not os.path.exists(pt_param):
+            raise FileNotFoundError(f"No such file: {pt_param}")
+        p, bs = ckpt_lib.load_params_only(pt_param, state.params, state.batch_stats)
+        state = state.replace(params=p, batch_stats=bs if bs is not None else state.batch_stats)
+
+    name = synth_run_name(model)
+    result_dir = os.path.join(output_root, "results", resultname, name)
+    os.makedirs(os.path.join(result_dir, "params"), exist_ok=True)
+
+    writer = loggers.TensorBoardWriter(os.path.join(output_root, "runs", name))
+    explog = loggers.create_experiment_logger(result_dir, name)
+    explog.log_hyperparameters(
+        epochs=epochs,
+        batch_size=batch_size,
+        device=str(jax.devices()[0]),
+        dataset_name=dataset_name,
+        num_mc_samples=num_mc_samples,
+        wu_strat=wu_strat,
+        grad_clip=grad_clip,
+    )
+    explog.log_model_info(model, state.params)
+
+    train_step = make_train_step(model, tx, L=num_mc_samples)
+    eval_step = make_eval_step(model)
+    encode_fn, decode_fn, forward_fn = make_apply_fns(model)
+
+    has_warmup = hasattr(model, "alpha") and type(model).__name__.startswith(("LR", "SetLR"))
+    wu_alpha = 0.0
+    last_kl = 0.0
+    is_set_model = getattr(model, "data_type", None) == "set"
+
+    t_start = time.time()
+    eval_means = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
+
+    for epoch in range(epochs):
+        if has_warmup:
+            wu_alpha = warmup_alpha(
+                wu_alpha, epoch, epochs, wu_strat, last_kl_loss=last_kl
+            )
+            explog.log_alpha_value(epoch, wu_alpha)
+
+        tot = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
+        rng, ep_key, aug_key = jax.random.split(rng, 3)
+        for i, (x, _y) in enumerate(
+            iterate_batches(
+                train_ds, batch_size, rng=np_rng,
+                augment=augment, augment_key=aug_key,
+            )
+        ):
+            step_key = jax.random.fold_in(ep_key, i)
+            state, m = train_step(state, x, jnp.float32(wu_alpha), step_key)
+            for k in tot:
+                tot[k] += float(m[k])
+        nb = steps_per_epoch
+        writer.add_scalar("loss/train", tot["loss"] / nb, epoch)
+        writer.add_scalar("recon/train", tot["recon"] / nb, epoch)
+        writer.add_scalar("reg/train", tot["reg"] / nb, epoch)
+
+        # feed kl_adaptive warmup: last (unscaled) KL of the epoch
+        beta = float(getattr(model, "beta", 1.0)) or 1.0
+        last_kl = (tot["reg"] / nb) / beta if has_warmup else 0.0
+
+        # ---- eval every epoch (main.py:303) ----
+        last_epoch = epoch == epochs - 1
+        ev = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
+        n_eval = 0
+        rng, ev_key = jax.random.split(rng)
+        for i, (x, yb) in enumerate(
+            iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=np_rng)
+        ):
+            m = eval_step(state, x, jnp.float32(wu_alpha), jax.random.fold_in(ev_key, i))
+            for k in ev:
+                ev[k] += float(m[k])
+            n_eval += 1
+            last_eval_batch = (x, yb)
+        eval_means = {k: v / max(n_eval, 1) for k, v in ev.items()}
+        writer.add_scalar("loss/test", eval_means["loss"], epoch)
+
+        if progress and (epoch % max(1, epochs // 20) == 0 or last_epoch):
+            print(
+                f"[{name}] epoch {epoch}: train loss {tot['loss']/nb:.4f} "
+                f"recon {tot['recon']/nb:.4f} reg {tot['reg']/nb:.4f} "
+                f"| test loss {eval_means['loss']:.4f}",
+                flush=True,
+            )
+
+        if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
+            ckpt_lib.save_checkpoint(
+                os.path.join(result_dir, "params", f"ckpt_{epoch}.pkl"), state, epoch
+            )
+
+        if last_epoch:
+            ckpt_lib.save_params_only(
+                os.path.join(result_dir, "params", f"model_{epoch}.pkl"),
+                state.params,
+                state.batch_stats,
+            )
+            if visualize_artifacts and not is_set_model:
+                _dump_artifacts(
+                    model, state, last_eval_batch, encode_fn, decode_fn, forward_fn,
+                    data_type, resultname, name, epoch, output_root, rng,
+                )
+            if visualize_artifacts and is_set_model:
+                _dump_set_samples(
+                    model, state, test_ds, decode_fn, forward_fn,
+                    resultname, name, epoch, output_root, rng,
+                )
+
+    writer.close()
+
+    # ---- final metrics on one 50-sample batch (main.py:363-372) ----
+    rng, fin_key = jax.random.split(rng)
+    mb = min(50, len(test_ds))
+    xb = jnp.asarray(test_ds.X[:mb])
+    outs = forward_fn(state, xb, fin_key)
+    recon, mu, log_var = outs[0], outs[1], outs[2]
+    _, loss_rec, _, _ = model.loss(xb, *outs, wu_alpha=wu_alpha)
+    pm = metrics_lib.measure_posterior_metrics(fin_key, mu, log_var, loss_rec)
+    pm = {k: float(v) for k, v in pm.items()}
+
+    duration = time.time() - t_start
+    explog.log_evaluation_metrics(
+        au=pm["au"], kl=pm["kl"], mi=pm["mi"], nll=pm["nll"],
+        mean_var=pm["mean_var"],
+        vloss=eval_means["loss"], vlrec=eval_means["recon"],
+        vlreg=eval_means["reg"], vllr=eval_means["lr"],
+    )
+    explog.log_alpha_warmup_summary(wu_strat)
+    explog.finalize_log()
+
+    loggers.log_unified_dict(
+        os.path.join(output_root, "log"),
+        {
+            "name": name,
+            "dataset_name": dataset_name,
+            "epoch": epochs,
+            "fid": -1,
+            "au": pm["au"],
+            "kl": pm["kl"],
+            "mi": pm["mi"],
+            "nll": pm["nll"],
+            "vloss": eval_means["loss"],
+            "vlrec": eval_means["recon"],
+            "vlreg": eval_means["reg"],
+            "vllr": eval_means["lr"],
+            "mean_var": pm["mean_var"],
+        },
+        logfilename=logfilename,
+    )
+
+    summary = dict(
+        name=name,
+        duration_sec=duration,
+        eval=eval_means,
+        posterior_metrics=pm,
+        result_dir=result_dir,
+    )
+    return state, summary
+
+
+def _dump_artifacts(model, state, last_batch, encode_fn, decode_fn, forward_fn,
+                    data_type, resultname, name, epoch, root, rng):
+    """Last-epoch artifact dumps (main.py:110-170)."""
+    x, y = last_batch
+    rng, k1, k2, k3 = jax.random.split(rng, 4)
+    outs = forward_fn(state, x, k1)
+    if data_type == "1d":
+        viz.visualize_2c_points_on_image(x, y, resultname, name, epoch, "input", root)
+        viz.visualize_2c_points_on_image(outs[1], y, resultname, name, epoch, "mu", root)
+        z = outs[3][0] if outs[3].ndim == 3 else outs[3]
+        viz.visualize_2c_points_on_image(z, y, resultname, name, epoch, "z", root)
+        viz.visualize_2c_points_on_image(outs[0], y, resultname, name, epoch, "recon", root)
+        zp = jax.random.normal(k2, (x.shape[0], model.latent_channel))
+        sample = decode_fn(state, zp)
+        viz.visualize_2c_points_on_image(sample, y, resultname, name, epoch, "sample", root)
+    else:
+        outdir = os.path.join(root, "results", resultname, name, "valontr")
+        os.makedirs(outdir, exist_ok=True)
+        outs_wos = forward_fn(state, x, k1, latent_rand_sampling=False)
+        viz.save_image_grid(np.asarray(x)[:256], os.path.join(outdir, f"{epoch}_origin.png"))
+        viz.save_image_grid(
+            np.clip(np.asarray(outs[0])[:256], 0, 1), os.path.join(outdir, f"{epoch}_recon.png")
+        )
+        viz.save_image_grid(
+            np.clip(np.asarray(outs_wos[0])[:256], 0, 1),
+            os.path.join(outdir, f"{epoch}_recon_wos.png"),
+        )
+        zp = jax.random.normal(k2, (x.shape[0], model.latent_channel))
+        sample = decode_fn(state, zp)
+        viz.save_image_grid(
+            np.clip(np.asarray(sample)[:256], 0, 1), os.path.join(outdir, f"{epoch}_sample.png")
+        )
+
+    # PCA / t-SNE (main.py:169-170)
+    def enc(xx):
+        return encode_fn(state, jnp.asarray(xx))
+
+    try:
+        viz.pca_visualization(enc, x, y, k3, epoch, name, resultname, root=root)
+    except Exception as e:  # visualization must never kill a training run
+        print(f"pca_visualization failed: {e}")
+
+
+def _dump_set_samples(model, state, test_ds, decode_fn, forward_fn,
+                      resultname, name, epoch, root, rng, n_samples=4):
+    """Point-cloud recon/prior .ply dumps (main.py:52-89)."""
+    outdir = os.path.join(root, "results", resultname, name, "point_clouds")
+    os.makedirs(outdir, exist_ok=True)
+    rng, k = jax.random.split(rng)
+    for i in range(min(n_samples, len(test_ds))):
+        x = jnp.asarray(test_ds.X[i : i + 1])
+        outs = forward_fn(state, x, k, latent_rand_sampling=False)
+        viz.save_point_cloud(
+            np.asarray(outs[0][0]), os.path.join(outdir, f"{name}_epoch{epoch}_recon_{i:02d}")
+        )
+        viz.save_point_cloud(
+            np.asarray(x[0]), os.path.join(outdir, f"{name}_epoch{epoch}_orig_{i:02d}")
+        )
+    for i in range(n_samples):
+        z = jax.random.normal(jax.random.fold_in(k, i), (1, model.latent_channel))
+        pts = decode_fn(state, z)
+        viz.save_point_cloud(
+            np.asarray(pts[0]), os.path.join(outdir, f"{name}_epoch{epoch}_prior_{i:02d}")
+        )

@@ -1,0 +1,53 @@
+"""Train state: params + BN stats + optimizer state + step counter."""
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        import jax.numpy as jnp
+
+        return cls(
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            step=jnp.zeros((), jnp.int32),
+        )
+
+
+def make_optimizer(
+    lr: float = 1e-2,
+    total_steps: int | None = None,
+    grad_clip: dict | None = None,
+) -> optax.GradientTransformation:
+    """Adam (torch defaults) + optional cosine annealing + grad clip.
+
+    * main.py:200-203: Adam(lr=1e-2) + CosineAnnealingLR(T=epochs*steps)
+    * lipschitz.py:25: Adam(lr) with no scheduler
+    * clip applied to the combined grads before the update
+      (main.py:285 -> utils.py:12-38)
+    """
+    if total_steps is not None:
+        schedule = optax.cosine_decay_schedule(lr, total_steps)
+    else:
+        schedule = lr
+
+    chain = []
+    if grad_clip and grad_clip.get("enabled", False):
+        clip_type = grad_clip.get("clip_type", "norm")
+        if clip_type == "norm":
+            chain.append(optax.clip_by_global_norm(float(grad_clip.get("max_norm", 1.0))))
+        elif clip_type == "value":
+            chain.append(optax.clip(float(grad_clip.get("clip_value", 1.0))))
+    chain.append(optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8))
+    return optax.chain(*chain)

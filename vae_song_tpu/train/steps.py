@@ -1,0 +1,178 @@
+"""Jitted train / eval steps, including the staged multi-term gradient.
+
+The reference's staged backward (main.py:262-287) does, for LRVAE-like
+models whose loss terms carry grad (model.py:616):
+
+    1. loss_lr.backward(retain_graph=True)
+    2. encoder .grad *= lambda (= 1e-4)
+    3. loss_reg.backward(retain_graph=True)   # already beta-scaled
+    4. loss_recon.backward()
+
+so the final gradients are
+    g_enc = lambda * dL_lr/d_enc + d(L_rec + L_reg)/d_enc
+    g_dec =          dL_lr/d_dec + d(L_rec + L_reg)/d_dec
+
+Here that is ONE forward (jax.vjp) + TWO cotangent pulls — strictly
+cheaper than torch's one forward + three backwards — followed by the
+per-subtree lambda scaling. Models whose aux terms are detached in the
+reference (VanillaVAE model.py:553, SetVAE model.py:1084, LIDVAE
+model.py:886, NaiveAE) fall through to a single composite gradient,
+matching main.py:282-283.
+"""
+
+import functools
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from vae_song_tpu.train.state import TrainState
+
+ENCODER_LR_LAMBDA = 1e-4  # main.py:269
+
+
+def _scale_encoder_subtree(grads: dict, lam: float) -> dict:
+    """Scale gradients of every parameter under the 'encoder' submodule."""
+    out = {}
+    for k, v in grads.items():
+        if k == "encoder":
+            out[k] = jax.tree.map(lambda g: g * lam, v)
+        else:
+            out[k] = v
+    return out
+
+
+def make_grads_fn(model, L: int = 1, grad_mode: str | None = None) -> Callable:
+    """Gradient function for `model`:
+    grads_fn(params, batch_stats, x, wu_alpha, rng)
+      -> (grads, (total, rec, reg_s, lr_s, new_batch_stats)).
+
+    Staged models (LRVAE) use one jax.vjp + two cotangent pulls; others
+    a single composite jax.grad. Reused verbatim by the data-parallel
+    shard_map step (parallel/mesh.py).
+
+    `grad_mode` overrides the model's default — e.g. the lipschitz
+    analysis CLI trains LRVAE with a plain composite backward
+    (lipschitz.py:40-43), not the staged one.
+    """
+    staged = (grad_mode or getattr(model, "grad_mode", "composite")) == "staged"
+
+    def forward_losses(params, batch_stats, x, wu_alpha, rng):
+        outs, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            x,
+            L=L,
+            train=True,
+            rngs={"sampling": rng},
+            mutable=["batch_stats"],
+        )
+        total, rec, reg_s, lr_s = model.loss(x, *outs, wu_alpha=wu_alpha)
+        return total, rec, reg_s, lr_s, mut["batch_stats"]
+
+    if staged:
+
+        def grads_fn(params, batch_stats, x, wu_alpha, rng):
+            def two_losses(p):
+                total, rec, reg_s, lr_s, bs = forward_losses(p, batch_stats, x, wu_alpha, rng)
+                return (rec + reg_s, lr_s), (total, rec, reg_s, lr_s, bs)
+
+            _, vjp_fn, aux = jax.vjp(two_losses, params, has_aux=True)
+            (g_main,) = vjp_fn((jnp.ones(()), jnp.zeros(())))
+            (g_lr,) = vjp_fn((jnp.zeros(()), jnp.ones(())))
+            g_lr = _scale_encoder_subtree(g_lr, ENCODER_LR_LAMBDA)
+            grads = jax.tree.map(lambda a, b: a + b, g_main, g_lr)
+            return grads, aux
+
+    else:
+
+        def grads_fn(params, batch_stats, x, wu_alpha, rng):
+            def total_loss(p):
+                total, rec, reg_s, lr_s, bs = forward_losses(p, batch_stats, x, wu_alpha, rng)
+                return total, (total, rec, reg_s, lr_s, bs)
+
+            grads, aux = jax.grad(total_loss, has_aux=True)(params)
+            return grads, aux
+
+    return grads_fn
+
+
+def make_train_step(model, tx, L: int = 1, grad_mode: str | None = None) -> Callable:
+    """Build a jitted train step for `model` with optimizer `tx`.
+
+    step(state, x, wu_alpha, rng) -> (state, metrics_dict)
+    """
+    grads_fn = make_grads_fn(model, L, grad_mode)
+
+    @jax.jit
+    def train_step(state: TrainState, x, wu_alpha, rng):
+        grads, (total, rec, reg_s, lr_s, new_bs) = grads_fn(
+            state.params, state.batch_stats, x, wu_alpha, rng
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        metrics = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model, L: int = 1) -> Callable:
+    """Eval step: running BN stats, no param mutation. Mirrors
+    main.eval (main.py:91-172) loss accumulation semantics.
+
+    Note: the reference calls `model(x)` in eval — i.e. WITH latent
+    sampling and L=1 (main.py:103); we keep that.
+    """
+
+    @jax.jit
+    def eval_step(state: TrainState, x, wu_alpha, rng):
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+            rngs={"sampling": rng},
+        )
+        total, rec, reg_s, lr_s = model.loss(x, *outs, wu_alpha=wu_alpha)
+        return {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+
+    return eval_step
+
+
+def make_apply_fns(model):
+    """Jitted encode / decode / forward for analysis & generation."""
+
+    @jax.jit
+    def encode(state, x):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+            method="encode",
+        )
+
+    @jax.jit
+    def decode(state, z):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            z,
+            train=False,
+            method="decode",
+        )
+
+    @functools.partial(jax.jit, static_argnames=("latent_rand_sampling",))
+    def forward(state, x, rng, latent_rand_sampling=True):
+        return model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            latent_rand_sampling=latent_rand_sampling,
+            train=False,
+            rngs={"sampling": rng},
+        )
+
+    return encode, decode, forward
