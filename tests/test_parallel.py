@@ -36,10 +36,13 @@ def test_dp_train_step_runs_and_reduces(key):
     step = make_dp_train_step(m, tx, mesh)
 
     xs = shard_batch(jnp.asarray(x), mesh)
+    # the step donates its input state — snapshot params before stepping
+    params_before = jax.tree.map(lambda v: np.asarray(v).copy(), state.params)
     state2, metrics = step(state, xs, jnp.float32(0.0), key)
     assert np.isfinite(float(metrics["loss"]))
-    # params changed and remain replicated
-    diff = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params)
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - b).max()), params_before, state2.params
+    )
     assert max(jax.tree.leaves(diff)) > 0
 
     # a second step compiles nothing new and still works

@@ -1,0 +1,206 @@
+"""Complexity benchmark CLI — the equivalent of the reference's
+complexity_benchmark.py: wall-clock + memory per model family on MNIST,
+emitting the same complexity_results.csv schema
+(complexity_benchmark.py:253-270).
+
+Fixes vs. the reference (documented, not replicated): the reference
+runs the staged backward unconditionally, which crashes for VanillaVAE
+(detached loss_lr) and LIDVAE (float loss_lr) — here each model uses
+its own gradient mode, so all three rows actually run.
+"""
+
+import argparse
+import csv
+import os
+import resource
+import time
+from datetime import datetime
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vae_song_tpu import data as data_lib
+from vae_song_tpu.data.pipeline import iterate_batches
+from vae_song_tpu.models import VanillaVAE, LIDVAE, LRVAE
+from vae_song_tpu.train.state import TrainState, make_optimizer
+from vae_song_tpu.train.steps import make_train_step, make_eval_step, make_apply_fns
+from vae_song_tpu.train.loop import init_model
+from vae_song_tpu.train import checkpoint as ckpt_lib
+from vae_song_tpu.train.loggers import count_params
+from vae_song_tpu import viz
+
+
+def get_memory_usage_mb():
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+
+
+def get_device_memory_usage_mb():
+    """Live HBM bytes on the first accelerator (0.0 on CPU backends)."""
+    try:
+        stats = jax.devices()[0].memory_stats()
+        return stats.get("bytes_in_use", 0) / (1024.0**2)
+    except Exception:
+        return 0.0
+
+
+def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
+                    num_mc_samples=1, grad_clip=None, seed=42):
+    rng = jax.random.PRNGKey(seed)
+    np_rng = np.random.default_rng(seed)
+    params, batch_stats = init_model(model, train_ds.X[:batch_size], seed=seed, L=num_mc_samples)
+    steps_per_epoch = len(train_ds) // batch_size
+    tx = make_optimizer(lr=1e-2, total_steps=epochs * steps_per_epoch, grad_clip=grad_clip)
+    state = TrainState.create(params, batch_stats, tx)
+    train_step = make_train_step(model, tx, L=num_mc_samples)
+    eval_step = make_eval_step(model)
+
+    mem0, dev0 = get_memory_usage_mb(), get_device_memory_usage_mb()
+    t0 = time.time()
+    for epoch in range(epochs):
+        rng, ep_key, aug_key = jax.random.split(rng, 3)
+        for i, (x, _y) in enumerate(
+            iterate_batches(train_ds, batch_size, rng=np_rng, augment=augment,
+                            augment_key=aug_key)
+        ):
+            state, m = train_step(state, x, jnp.float32(1.0), jax.random.fold_in(ep_key, i))
+    jax.block_until_ready(m["loss"])
+    train_time = time.time() - t0
+    train_mem = max(0.0, get_memory_usage_mb() - mem0)
+    train_dev = max(0.0, get_device_memory_usage_mb() - dev0)
+
+    mem0, dev0 = get_memory_usage_mb(), get_device_memory_usage_mb()
+    t1 = time.time()
+    totals = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
+    n = 0
+    rng, ev_key = jax.random.split(rng)
+    for i, (x, _y) in enumerate(iterate_batches(test_ds, batch_size, shuffle=False, rng=np_rng)):
+        m = eval_step(state, x, jnp.float32(1.0), jax.random.fold_in(ev_key, i))
+        for k in totals:
+            totals[k] += float(m[k])
+        n += 1
+    eval_time = time.time() - t1
+    eval_mem = max(0.0, get_memory_usage_mb() - mem0)
+    eval_dev = max(0.0, get_device_memory_usage_mb() - dev0)
+
+    return state, {
+        "train_time_sec": train_time,
+        "eval_time_sec": eval_time,
+        "train_memory_mb": train_mem,
+        "eval_memory_mb": eval_mem,
+        "train_gpu_memory_mb": train_dev,  # column name kept for schema parity
+        "eval_gpu_memory_mb": eval_dev,
+        "eval_losses": tuple(v / max(n, 1) for v in totals.values()),
+    }
+
+
+def sample_and_save_grids(model, state, output_dir, model_name, num_grids=4, grid_n=8, seed=0):
+    os.makedirs(output_dir, exist_ok=True)
+    _, decode_fn, _ = make_apply_fns(model)
+    key = jax.random.PRNGKey(seed)
+    for i in range(num_grids):
+        z = jax.random.normal(jax.random.fold_in(key, i), (grid_n * grid_n, model.latent_channel))
+        x = np.asarray(decode_fn(state, z))
+        if x.ndim == 2:
+            side = int(round((x.shape[1]) ** 0.5))
+            x = x.reshape(-1, side, side, 1)
+        x = np.clip(x, 0.0, 1.0)
+        viz.save_image_grid(x, os.path.join(output_dir, f"{model_name}_samples_grid_{i+1}.png"),
+                            nrow=grid_n, normalize=False)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Complexity benchmark on MNIST (vae_song_tpu)"
+    )
+    parser.add_argument("--output_dir", type=str, default="results/complexity_benchmark")
+    parser.add_argument("--epochs", type=int, default=5)
+    parser.add_argument("--batch_size", type=int, default=128)
+    parser.add_argument("--num_mc_samples", type=int, default=1)
+    parser.add_argument("--alpha", type=float, default=0.1)
+    parser.add_argument("--beta", type=float, default=1.0)
+    parser.add_argument("--inverse_lipschitz", type=float, default=0.0)
+    parser.add_argument("--fake_data", action="store_true")
+    parser.add_argument("--grad_clip_enabled", action="store_true")
+    parser.add_argument("--grad_clip_type", type=str, default="norm", choices=["norm", "value"])
+    parser.add_argument("--grad_clip_max_norm", type=float, default=1.0)
+    parser.add_argument("--grad_clip_value", type=float, default=1.0)
+    args = parser.parse_args(argv)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    train_ds, test_ds, augment = data_lib.load_dataset("mnist", fake=args.fake_data, seed=0)
+
+    grad_clip = {
+        "enabled": args.grad_clip_enabled,
+        "clip_type": args.grad_clip_type,
+        "max_norm": args.grad_clip_max_norm,
+        "clip_value": args.grad_clip_value,
+    }
+
+    models_to_test = [
+        ("VanillaVAE", lambda: VanillaVAE.for_dataset(
+            "mnist", beta=args.beta, encoder_type="conv", decoder_type="mlp")),
+        ("LIDVAE", lambda: LIDVAE.for_dataset(
+            "mnist", inverse_lipschitz=args.inverse_lipschitz, beta=args.beta)),
+        ("LRVAE", lambda: LRVAE.for_dataset(
+            "mnist", beta=args.beta, alpha=args.alpha,
+            encoder_type="conv", decoder_type="mlp")),
+    ]
+
+    results = []
+    for model_name, factory in models_to_test:
+        print(f"\n=== Testing {model_name} on MNIST ===", flush=True)
+        model = factory()
+        state, metrics = train_one_model(
+            model, train_ds, test_ds, augment, args.epochs, args.batch_size,
+            args.num_mc_samples, grad_clip,
+        )
+        n_params = count_params(state.params)
+        model_size_mb = sum(
+            v.size * v.dtype.itemsize for v in jax.tree.leaves(state.params)
+        ) / (1024.0**2)
+
+        ckpt_lib.save_params_only(
+            os.path.join(args.output_dir, "weights", f"{model_name}.pkl"),
+            state.params, state.batch_stats,
+        )
+        sample_and_save_grids(model, state, os.path.join(args.output_dir, "samples"), model_name)
+
+        results.append({
+            "model": model_name,
+            "parameters": n_params,
+            "model_size_mb": model_size_mb,
+            "train_time_sec": metrics["train_time_sec"],
+            "eval_time_sec": metrics["eval_time_sec"],
+            "train_memory_mb": metrics["train_memory_mb"],
+            "eval_memory_mb": metrics["eval_memory_mb"],
+            "train_gpu_memory_mb": metrics["train_gpu_memory_mb"],
+            "eval_gpu_memory_mb": metrics["eval_gpu_memory_mb"],
+            "alpha": args.alpha if model_name == "LRVAE" else None,
+            "beta": args.beta,
+            "inverse_lipschitz": args.inverse_lipschitz if model_name == "LIDVAE" else None,
+        })
+        print(f"{model_name}: {n_params:,} params, "
+              f"train {metrics['train_time_sec']:.1f}s, eval {metrics['eval_time_sec']:.1f}s")
+
+    csv_path = os.path.join(args.output_dir, "complexity_results.csv")
+    with open(csv_path, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=list(results[0].keys()))
+        w.writeheader()
+        w.writerows(results)
+
+    timestamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+    log_file = os.path.join(args.output_dir, f"complexity_benchmark_log_{timestamp}.txt")
+    with open(log_file, "w") as f:
+        f.write(f"Complexity Benchmark Results - {datetime.now():%Y-%m-%d %H:%M:%S}\n")
+        f.write("=" * 80 + "\n")
+        for r in results:
+            f.write(str(r) + "\n")
+
+    print(f"\nBenchmark complete. Results saved to {args.output_dir}")
+    print(f"CSV: {csv_path}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -87,7 +87,7 @@ def make_dp_train_step(model, tx, mesh: Mesh, L: int = 1) -> Callable:
         out_specs=(P(), P()),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(0,))
 
 
 def make_dp_eval_step(model, mesh: Mesh) -> Callable:

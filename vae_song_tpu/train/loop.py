@@ -24,6 +24,24 @@ from vae_song_tpu.train import loggers, checkpoint as ckpt_lib
 from vae_song_tpu import viz
 
 
+def _maybe_fid(gen_dir: str, dataset_name: str):
+    """FID via the external `pytorch_fid` package if installed
+    (main.py:349-360); otherwise 'None', like the reference prints when
+    the package is missing."""
+    try:
+        import pytorch_fid  # noqa: F401
+        import subprocess
+
+        out = subprocess.run(
+            ["python", "-m", "pytorch_fid", f"../{dataset_name}/", gen_dir],
+            capture_output=True, text=True, timeout=600,
+        )
+        return out.stdout.strip()
+    except Exception:
+        print("Please install `pytorch_fid` to show FID score")
+        return "None"
+
+
 def synth_run_name(model, alpha=None) -> str:
     """Run-name synthesis (main.py:211-219)."""
     name = type(model).__name__ + datetime.now().strftime(" %m%d%H%M")
@@ -89,7 +107,7 @@ def train_and_test(
 
     tx = make_optimizer(
         lr=lr,
-        total_steps=epochs * steps_per_epoch if use_cosine else None,
+        total_steps=max(1, epochs * steps_per_epoch) if use_cosine else None,
         grad_clip=grad_clip,
     )
     state = TrainState.create(params, batch_stats, tx)
@@ -205,6 +223,26 @@ def train_and_test(
 
     writer.close()
 
+    # ---- generation-only mode (epochs < 0, main.py:323-360):
+    # dump SAMPLE_ITERATION x batch individual sample images + FID ----
+    fid = -1
+    if epochs < 0:
+        gen_dir = os.path.join(result_dir, "generation")
+        os.makedirs(gen_dir, exist_ok=True)
+        sample_iteration = 50
+        for i in range(sample_iteration):
+            rng, gk = jax.random.split(rng)
+            z = jax.random.normal(gk, (batch_size, model.latent_channel))
+            imgs = np.clip(np.asarray(decode_fn(state, z)), 0, 1)
+            for j in range(batch_size):
+                viz.save_image_grid(
+                    imgs[j : j + 1],
+                    os.path.join(gen_dir, f"{i * batch_size + j}.png"),
+                    nrow=1,
+                    normalize=True,
+                )
+        fid = _maybe_fid(gen_dir, dataset_name)
+
     # ---- final metrics on one 50-sample batch (main.py:363-372) ----
     rng, fin_key = jax.random.split(rng)
     mb = min(50, len(test_ds))
@@ -231,7 +269,7 @@ def train_and_test(
             "name": name,
             "dataset_name": dataset_name,
             "epoch": epochs,
-            "fid": -1,
+            "fid": fid,
             "au": pm["au"],
             "kl": pm["kl"],
             "mi": pm["mi"],

@@ -7,7 +7,12 @@ from vae_song_tpu.viz.plots import (
     save_point_cloud,
     logscale_plt_color_map,
 )
-from vae_song_tpu.viz.pca import pca_calculation, pca_plot, pca_visualization
+from vae_song_tpu.viz.pca import (
+    pca_calculation,
+    pca_plot,
+    pca_visualization,
+    rec_lr_scatter_visualization,
+)
 
 __all__ = [
     "visualize_2c_points_on_image",

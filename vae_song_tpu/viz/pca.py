@@ -76,6 +76,60 @@ def pca_plot(x, x_pca, x_pca_min, x_pca_max, x_min, x_max, v_min, v_max, y,
             print(f"Error in tsne: {e}")
 
 
+def rec_lr_scatter_visualization(results_root, dataset_name, load_and_eval_fn,
+                                 output_path=None):
+    """Walk a results tree for final checkpoints and scatter
+    reconstruction loss vs latent-reconstruction loss per run, log-log
+    (utils.py:324-424).
+
+    load_and_eval_fn(model_path, run_key) -> (loss_rec, loss_lr) or None;
+    the caller supplies model reconstruction so this stays
+    model-zoo-agnostic. Directory contract matches the reference:
+    results/result_<key>_..._<dataset>/<run name>/params/model_*.pkl
+    """
+    import os
+
+    l_rec, l_lr, colors, labels, color_labels = [], [], [], [], []
+    count = 0
+    for root, _dirs, files in os.walk(results_root):
+        for file in files:
+            if not (file.startswith("model_") and file.endswith(".pkl")):
+                continue
+            if root.find(dataset_name) == -1:
+                continue
+            parts = root.replace("\\", "/").split("/")
+            key = next((p.split("_")[1] for p in parts if p.startswith("result_")), None)
+            run_label = parts[-2] if parts[-1] == "params" else parts[-1]
+            out = load_and_eval_fn(os.path.join(root, file), key)
+            if out is None:
+                continue
+            rec, lr = out
+            l_rec.append(float(rec))
+            l_lr.append(float(lr))
+            labels.append(run_label)
+            base = run_label.split(" ")[0]
+            if base not in color_labels:
+                color_labels.append(base)
+            colors.append(color_labels.index(base))
+            count += 1
+
+    plt.figure(figsize=(10, 8))
+    plt.title("Reconstruction Loss vs Latent Reconstruction Loss:" + dataset_name)
+    sc = plt.scatter(l_lr, l_rec, c=colors, cmap="tab10")
+    for i, label_name in enumerate(labels):
+        plt.annotate(label_name, (l_lr[i], l_rec[i]), fontsize=8, alpha=0.7)
+    plt.yscale("log")
+    plt.xscale("log")
+    plt.xlabel("Latent Reconstruction Loss")
+    plt.ylabel("Reconstruction Loss")
+    output_path = output_path or os.path.join(results_root, "rec_scatter", "loss_scatter_plot.png")
+    os.makedirs(os.path.dirname(output_path), exist_ok=True)
+    plt.savefig(output_path)
+    plt.close()
+    print(count, "points plotted")
+    return output_path
+
+
 def pca_visualization(encode_fn, X, y, rng_key, epoch, name, resultname,
                       root=".", max_samples=1000, run_tsne=True):
     """PCA/t-SNE of posterior mu and sampled z (utils.py:271-317).
