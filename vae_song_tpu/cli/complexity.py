@@ -55,15 +55,17 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     train_step = make_train_step(model, tx, L=num_mc_samples)
     eval_step = make_eval_step(model)
 
+    one = jnp.float32(1.0)
     mem0, dev0 = get_memory_usage_mb(), get_device_memory_usage_mb()
     t0 = time.time()
     for epoch in range(epochs):
         rng, ep_key, aug_key = jax.random.split(rng, 3)
+        step_keys = jax.random.split(ep_key, steps_per_epoch)
         for i, (x, _y) in enumerate(
             iterate_batches(train_ds, batch_size, rng=np_rng, augment=augment,
                             augment_key=aug_key)
         ):
-            state, m = train_step(state, x, jnp.float32(1.0), jax.random.fold_in(ep_key, i))
+            state, m = train_step(state, x, one, step_keys[i])
     jax.block_until_ready(m["loss"])
     train_time = time.time() - t0
     train_mem = max(0.0, get_memory_usage_mb() - mem0)
@@ -74,8 +76,9 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     totals = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
     n = 0
     rng, ev_key = jax.random.split(rng)
+    ev_keys = jax.random.split(ev_key, max(1, len(test_ds) // batch_size))
     for i, (x, _y) in enumerate(iterate_batches(test_ds, batch_size, shuffle=False, rng=np_rng)):
-        m = eval_step(state, x, jnp.float32(1.0), jax.random.fold_in(ev_key, i))
+        m = eval_step(state, x, one, ev_keys[i])
         for k in totals:
             totals[k] += float(m[k])
         n += 1

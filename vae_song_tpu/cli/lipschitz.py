@@ -74,34 +74,38 @@ def build_argparser():
 
 def train_model(model, train_ds, args, grad_clip_cfg, experiment_logger=None,
                 initial_wu_alpha=0.0):
-    """Plain training loop (lipschitz.py:23-44): Adam(lr), no scheduler,
-    single composite backward, per-epoch warmup."""
+    """Training semantics of lipschitz.py:23-44 — Adam(lr), no
+    scheduler, single composite backward, per-epoch warmup — compiled as
+    ONE on-device lax.scan program over (epochs x steps)."""
+    from vae_song_tpu.train.scan import make_scanned_trainer, precompute_alphas
+
     rng = jax.random.PRNGKey(args.seed)
-    np_rng = np.random.default_rng(args.seed)
     params, batch_stats = init_model(model, train_ds.X[: args.batch_size], seed=args.seed)
     tx = make_optimizer(lr=args.lr, total_steps=None, grad_clip=grad_clip_cfg)
     state = TrainState.create(params, batch_stats, tx)
-    step = make_train_step(model, tx, grad_mode="composite")
 
-    wu_alpha = initial_wu_alpha
-    last_kl = 0.0
     beta = float(getattr(model, "beta", 1.0)) or 1.0
-    for epoch in range(args.epochs):
-        if hasattr(model, "alpha"):
-            wu_alpha = warmup_alpha(
-                wu_alpha, epoch, args.epochs, args.wu_strat,
-                up_amount=args.wu_up_amount, start_epoch=args.wu_start_epoch,
-                repeat_interval=args.wu_repeat_interval, last_kl_loss=last_kl,
-            )
-            if experiment_logger:
-                experiment_logger.log_alpha_value(epoch, wu_alpha)
-        rng, ep_key = jax.random.split(rng)
-        reg_sum, nb = 0.0, 0
-        for i, (x, _y) in enumerate(iterate_batches(train_ds, args.batch_size, rng=np_rng)):
-            state, m = step(state, x, jnp.float32(wu_alpha), jax.random.fold_in(ep_key, i))
-            reg_sum += float(m["reg"])
-            nb += 1
-        last_kl = (reg_sum / max(nb, 1)) / beta
+    kl_adaptive = args.wu_strat == "kl_adaptive" and hasattr(model, "alpha")
+    if hasattr(model, "alpha"):
+        alphas = precompute_alphas(
+            args.epochs, args.wu_strat, up_amount=args.wu_up_amount,
+            start_epoch=args.wu_start_epoch, repeat_interval=args.wu_repeat_interval,
+            initial_alpha=initial_wu_alpha,
+        )
+    else:
+        alphas = jnp.zeros((args.epochs,), jnp.float32)
+    if experiment_logger and alphas is not None and hasattr(model, "alpha"):
+        for e in range(args.epochs):
+            experiment_logger.log_alpha_value(e, float(alphas[e]))
+
+    fit = make_scanned_trainer(
+        model, tx, args.batch_size, args.epochs,
+        grad_mode="composite", kl_adaptive=kl_adaptive, beta=beta,
+    )
+    state, last_metrics = fit(state, jnp.asarray(train_ds.X), alphas, rng)
+    wu_alpha = float(alphas[-1]) if alphas is not None else float(
+        jax.nn.sigmoid(5.0 - last_metrics["reg"] / beta)
+    )
     return state, wu_alpha
 
 

@@ -156,14 +156,21 @@ def train_and_test(
 
         tot = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
         rng, ep_key, aug_key = jax.random.split(rng, 3)
+        # hoist per-step device constants out of the hot loop: scalar H2D
+        # transfers and fold_in dispatches cost ~ms each on tunneled TPUs
+        wu_dev = jnp.float32(wu_alpha)
+        step_keys = jax.random.split(ep_key, steps_per_epoch)
+        epoch_metrics = []
         for i, (x, _y) in enumerate(
             iterate_batches(
                 train_ds, batch_size, rng=np_rng,
                 augment=augment, augment_key=aug_key,
             )
         ):
-            step_key = jax.random.fold_in(ep_key, i)
-            state, m = train_step(state, x, jnp.float32(wu_alpha), step_key)
+            state, m = train_step(state, x, wu_dev, step_keys[i])
+            epoch_metrics.append(m)
+        # pull metrics off-device once per epoch
+        for m in epoch_metrics:
             for k in tot:
                 tot[k] += float(m[k])
         nb = steps_per_epoch
@@ -178,16 +185,19 @@ def train_and_test(
         # ---- eval every epoch (main.py:303) ----
         last_epoch = epoch == epochs - 1
         ev = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
-        n_eval = 0
         rng, ev_key = jax.random.split(rng)
+        n_test_batches = num_batches(test_ds, batch_size)
+        ev_keys = jax.random.split(ev_key, max(n_test_batches, 1))
+        eval_metrics = []
         for i, (x, yb) in enumerate(
             iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=np_rng)
         ):
-            m = eval_step(state, x, jnp.float32(wu_alpha), jax.random.fold_in(ev_key, i))
+            eval_metrics.append(eval_step(state, x, wu_dev, ev_keys[i]))
+            last_eval_batch = (x, yb)
+        n_eval = len(eval_metrics)
+        for m in eval_metrics:
             for k in ev:
                 ev[k] += float(m[k])
-            n_eval += 1
-            last_eval_batch = (x, yb)
         eval_means = {k: v / max(n_eval, 1) for k, v in ev.items()}
         writer.add_scalar("loss/test", eval_means["loss"], epoch)
 
