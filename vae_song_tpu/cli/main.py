@@ -11,7 +11,7 @@ from vae_song_tpu.train.loop import train_and_test
 
 
 def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
-                   fake_data: bool = False):
+                   fake_data: bool = False, profile_dir: str | None = None):
     config = load_config(config_path)
     exp_type = config["experiment_type"]
     common = config["common_params"]
@@ -45,6 +45,7 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             seed=seed + point["rep"],
             dataset_params=dataset_params,
             output_root=output_root,
+            profile_dir=profile_dir,
         )
         results.append(summary)
     return results
@@ -60,8 +61,11 @@ def main():
     parser.add_argument("--fake_data", action="store_true",
                         help="use synthetic stand-in data for datasets that "
                              "need downloads (no-egress environments)")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="jax.profiler trace of training epoch 1 -> this dir")
     args = parser.parse_args()
-    run_experiment(args.config, args.output_root, args.seed, args.fake_data)
+    run_experiment(args.config, args.output_root, args.seed, args.fake_data,
+                   args.profile_dir)
 
 
 if __name__ == "__main__":

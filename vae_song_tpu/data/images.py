@@ -112,6 +112,73 @@ def load_cifar10():
     return (np.concatenate(xs), np.concatenate(ys)), (xte, yte)
 
 
+def load_image_folder(name: str, max_items: int | None = None):
+    """CelebA / Omniglot from local image folders (PIL-gated).
+
+    CelebA: <root>/celeba/img_align_celeba/*.jpg with the reference's
+    transform pipeline (CenterCrop(148) + Resize(64), dataset.py:486-495;
+    the random flip is applied at train time on device).
+    Omniglot: <root>/omniglot-py/images_background/** (train) and
+    images_evaluation/** (test), resized to 28 (dataset.py:515-523).
+    """
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise FileNotFoundError(f"PIL unavailable for image-folder loading: {e}")
+
+    if name == "celeba":
+        root = None
+        for c in [os.path.join(DATA_ROOT, "celeba", "img_align_celeba"),
+                  os.path.join(DATA_ROOT, "img_align_celeba")]:
+            if os.path.isdir(c):
+                root = c
+                break
+        if root is None:
+            raise FileNotFoundError(f"No CelebA image folder under {DATA_ROOT!r}.")
+        files = sorted(f for f in os.listdir(root) if f.lower().endswith((".jpg", ".png")))
+        if max_items:
+            files = files[:max_items]
+
+        def load_one(fname):
+            img = Image.open(os.path.join(root, fname)).convert("RGB")
+            w, h = img.size
+            left, top = (w - 148) // 2, (h - 148) // 2
+            img = img.crop((left, top, left + 148, top + 148)).resize((64, 64))
+            return np.asarray(img, np.float32) / 255.0
+
+        xs = np.stack([load_one(f) for f in files])
+        n_test = max(1, len(xs) // 10)
+        ys = np.zeros(len(xs), np.int64)
+        return (xs[:-n_test], ys[:-n_test]), (xs[-n_test:], ys[-n_test:])
+
+    if name == "omniglot":
+        base = os.path.join(DATA_ROOT, "omniglot-py")
+        tr_dir = os.path.join(base, "images_background")
+        te_dir = os.path.join(base, "images_evaluation")
+        if not os.path.isdir(tr_dir):
+            raise FileNotFoundError(f"No Omniglot folders under {base!r}.")
+
+        def load_split(d):
+            xs, ys = [], []
+            label = 0
+            for alphabet in sorted(os.listdir(d)):
+                adir = os.path.join(d, alphabet)
+                if not os.path.isdir(adir):
+                    continue
+                for character in sorted(os.listdir(adir)):
+                    cdir = os.path.join(adir, character)
+                    for f in sorted(os.listdir(cdir)):
+                        img = Image.open(os.path.join(cdir, f)).convert("L").resize((28, 28))
+                        xs.append(np.asarray(img, np.float32)[..., None] / 255.0)
+                        ys.append(label)
+                    label += 1
+            return np.stack(xs), np.array(ys, np.int64)
+
+        return load_split(tr_dir), load_split(te_dir)
+
+    raise ValueError(f"load_image_folder does not handle {name}")
+
+
 def fake_image_dataset(name: str, n_train=4096, n_test=1024, seed=0):
     """Shape-correct synthetic images: smooth random blobs in [0, 1]."""
     h, w, c = IMAGE_SHAPES[name]
@@ -240,6 +307,8 @@ def load_image_dataset(name: str, fake: bool = False, seed: int = 0):
         return load_idx_dataset(name)
     if name == "cifar10":
         return load_cifar10()
+    if name in ("celeba", "omniglot"):
+        return load_image_folder(name)
     raise FileNotFoundError(
         f"Image dataset '{name}' requires local files (no egress); "
         f"pass fake=True for synthetic stand-ins."

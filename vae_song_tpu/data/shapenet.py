@@ -94,7 +94,15 @@ class ShapeNetPointClouds:
         return pts, np.int64(0)
 
     def materialize(self):
-        X = np.stack([self[i][0] for i in range(len(self))])
+        """Stack the whole split into [N, num_points, 3]; resampling of
+        the variable-size clouds runs through the native host library
+        (numpy fallback inside)."""
+        from vae_song_tpu.data import native
+
+        clouds = [load_points(f) for f in self.files]
+        X = native.resample_point_clouds(
+            clouds, self.num_points, seed=int(self.rng.integers(2**31 - 1))
+        )
         y = np.zeros(len(self), np.int64)
         return X, y
 

@@ -87,6 +87,7 @@ def train_and_test(
     visualize_artifacts: bool = True,
     checkpoint_every: int | None = None,
     progress: bool = True,
+    profile_dir: str | None = None,
 ):
     """Returns (state, summary dict)."""
     dataset_params = dataset_params or {}
@@ -161,6 +162,13 @@ def train_and_test(
         wu_dev = jnp.float32(wu_alpha)
         step_keys = jax.random.split(ep_key, steps_per_epoch)
         epoch_metrics = []
+        profiling_this_epoch = profile_dir is not None and epoch == 1
+        if profiling_this_epoch:
+            # profile epoch 1 (epoch 0 includes compilation)
+            from vae_song_tpu.train.profiling import trace
+
+            prof_ctx = trace(profile_dir)
+            prof_ctx.__enter__()
         for i, (x, _y) in enumerate(
             iterate_batches(
                 train_ds, batch_size, rng=np_rng,
@@ -169,6 +177,9 @@ def train_and_test(
         ):
             state, m = train_step(state, x, wu_dev, step_keys[i])
             epoch_metrics.append(m)
+        if profiling_this_epoch:
+            jax.block_until_ready(m["loss"])
+            prof_ctx.__exit__(None, None, None)
         # pull metrics off-device once per epoch
         for m in epoch_metrics:
             for k in tot:
