@@ -1,0 +1,79 @@
+"""Tensor-parallel (GSPMD) set-transformer tests on the 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from vae_song_tpu.models import SetLRVAE
+from vae_song_tpu.parallel.mesh import make_mesh
+from vae_song_tpu.parallel.tp import (
+    setvae_param_specs,
+    shard_state,
+    make_tp_dp_train_step,
+)
+from vae_song_tpu.train.state import TrainState, make_optimizer
+from vae_song_tpu.train.loop import init_model
+
+
+def _tiny_model():
+    return SetLRVAE(latent_channel=8, num_points=32, d_model=16, num_heads=2,
+                    ff_dim=32, alpha=0.1, beta=0.1)
+
+
+def test_param_specs_shard_attention_and_ffn(key):
+    m = _tiny_model()
+    pts = np.random.default_rng(0).normal(size=(4, 32, 3)).astype(np.float32)
+    params, _ = init_model(m, pts, seed=0)
+    specs = setvae_param_specs(params)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    model_sharded = [
+        "/".join(str(getattr(p, "key", p)) for p in path)
+        for path, spec in flat
+        if spec != P()
+    ]
+    # attention qkv/out and FFN kernels must be model-sharded
+    assert any("query" in s for s in model_sharded)
+    assert any("out" in s for s in model_sharded)
+    assert any("Dense_0" in s for s in model_sharded)
+    # embedding / norm params stay replicated
+    assert not any("LayerNorm" in s for s in model_sharded)
+
+
+def test_tp_dp_step_runs(key):
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = _tiny_model()
+    pts = np.random.default_rng(1).normal(size=(8, 32, 3)).astype(np.float32)
+    params, bs = init_model(m, pts, seed=0)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(params, bs, tx)
+    state = shard_state(state, mesh)
+    step = make_tp_dp_train_step(m, tx, mesh, state)
+
+    x = jax.device_put(
+        jnp.asarray(pts),
+        jax.sharding.NamedSharding(mesh, P("data")),
+    )
+    state, metrics = step(state, x, jnp.float32(1.0), key)
+    assert np.isfinite(float(metrics["loss"]))
+    # second step reuses the compiled program
+    state, metrics = step(state, x, jnp.float32(1.0), jax.random.fold_in(key, 1))
+    assert np.isfinite(float(metrics["loss"]))
+    # the attention kernels really live sharded on the model axis
+    enc0 = state.params["encoder"]
+    qkv = None
+    def find_q(tree):
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                r = find_q(v)
+                if r is not None:
+                    return r
+            elif "query" in str(k):
+                return v
+        return None
+    # walk to any query kernel
+    leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    q = next(v for path, v in leaves
+             if any("query" in str(getattr(p, "key", p)) for p in path)
+             and v.ndim == 3)
+    assert "model" in str(q.sharding.spec)
