@@ -62,22 +62,24 @@ def measure_tpu_throughput():
 
     t0 = time.time()
     state, m = step(state, x, zero, keys[-1])
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
     log(f"compile+first step: {time.time()-t0:.1f}s on {jax.devices()[0]}")
     for i in range(4):
         state, m = step(state, x, zero, keys[-2 - i])
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])
 
-    # best-of-N trials: tunneled-TPU dispatch latency fluctuates, so the
-    # fastest window is the honest device-throughput measurement
+    # IMPORTANT measurement note: on this tunneled backend,
+    # block_until_ready() returns before chained work completes, so each
+    # trial is closed by ACTUALLY FETCHING the final loss value (D2H of
+    # real bytes cannot lie). Best-of-N smooths relay jitter.
     best = float("inf")
     for trial in range(5):
         t0 = time.time()
         for i in range(BENCH_STEPS):
             state, m = step(state, x, zero, keys[i])
-        jax.block_until_ready(m["loss"])
+        final_loss = float(m["loss"])
         dt = time.time() - t0
-        log(f"trial {trial}: {BENCH_STEPS} steps in {dt:.3f}s")
+        log(f"trial {trial}: {BENCH_STEPS} steps in {dt:.3f}s (loss {final_loss:.3f})")
         best = min(best, dt)
     sps = BATCH * BENCH_STEPS / best
     log(f"tpu best: {BENCH_STEPS} steps in {best:.3f}s -> {sps:.0f} samples/sec")
