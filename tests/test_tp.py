@@ -73,7 +73,10 @@ def test_tp_dp_step_runs(key):
         return None
     # walk to any query kernel
     leaves = jax.tree_util.tree_flatten_with_path(state.params)[0]
+
+    def path_str(path):
+        return "/".join(str(getattr(p, "key", p)) for p in path)
+
     q = next(v for path, v in leaves
-             if any("query" in str(getattr(p, "key", p)) for p in path)
-             and v.ndim == 3)
+             if "query" in path_str(path) and "kernel" in path_str(path))
     assert "model" in str(q.sharding.spec)

@@ -22,11 +22,14 @@ import flax.linen as nn
 
 from vae_song_tpu.nn.blocks import Dense, BatchNorm
 from vae_song_tpu.ops import losses
-from vae_song_tpu.ops.chamfer import chamfer_distance
+from vae_song_tpu.ops.chamfer import best_chamfer
+from vae_song_tpu.ops.attention import MultiHeadAttention
 
 
 class TransformerEncoderLayer(nn.Module):
-    """torch nn.TransformerEncoderLayer (post-norm, ReLU FFN)."""
+    """torch nn.TransformerEncoderLayer (post-norm, ReLU FFN); the
+    self-attention over the N-point axis runs the Pallas flash kernel
+    where eligible (ops/attention.py)."""
 
     d_model: int
     num_heads: int
@@ -34,10 +37,8 @@ class TransformerEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
+        attn = MultiHeadAttention(
+            num_heads=self.num_heads, d_model=self.d_model,
         )(x, x)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
         ff = Dense(self.ff_dim)(x)
@@ -47,7 +48,10 @@ class TransformerEncoderLayer(nn.Module):
 
 
 class TransformerDecoderLayer(nn.Module):
-    """torch nn.TransformerDecoderLayer: self-attn, cross-attn, FFN."""
+    """torch nn.TransformerDecoderLayer: self-attn, cross-attn, FFN.
+    Self-attention over the 2048 learned queries uses the flash path;
+    the cross-attention to a single latent memory token stays on XLA
+    (length-1 kv — nothing to tile)."""
 
     d_model: int
     num_heads: int
@@ -55,16 +59,12 @@ class TransformerDecoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, tgt, memory):
-        sa = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
+        sa = MultiHeadAttention(
+            num_heads=self.num_heads, d_model=self.d_model,
         )(tgt, tgt)
         tgt = nn.LayerNorm(epsilon=1e-5)(tgt + sa)
-        ca = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
+        ca = MultiHeadAttention(
+            num_heads=self.num_heads, d_model=self.d_model,
         )(tgt, memory)
         tgt = nn.LayerNorm(epsilon=1e-5)(tgt + ca)
         ff = Dense(self.ff_dim)(tgt)
@@ -235,7 +235,7 @@ class SetVAE(nn.Module):
         return recon, mu, log_var, z, None
 
     def loss(self, x, recon, mu, log_var, z_input=None, z_recon=None, wu_alpha: float = 0.0):
-        loss_recon = chamfer_distance(recon, x)
+        loss_recon = best_chamfer(recon, x)
         loss_reg = losses.kl_divergence(mu, log_var)
         total = loss_recon + self.beta * loss_reg
         return total, loss_recon, loss_reg, jnp.zeros(())
@@ -261,7 +261,7 @@ class SetLRVAE(SetVAE):
         return recon, mu, log_var, z, z_recon
 
     def loss(self, x, recon, mu, log_var, z_input, z_recon, wu_alpha: float = 0.0):
-        loss_recon = chamfer_distance(recon, x)
+        loss_recon = best_chamfer(recon, x)
         loss_reg = losses.kl_divergence(mu, log_var)
         loss_lr = losses.latent_recon_loss(z_input, z_recon)
         total = loss_recon + self.beta * loss_reg + self.alpha * wu_alpha * loss_lr

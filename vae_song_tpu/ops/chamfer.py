@@ -76,58 +76,58 @@ def chamfer_distance(points_pred, points_gt, tile: int = 512):
 # Pallas TPU kernel
 # ---------------------------------------------------------------------------
 
+_BB = 8  # batch rows per block (TPU sublane granularity)
+
+
 def _chamfer_kernel(pred_ref, gt_ref, minp_ref, argp_ref, ming_ref, argg_ref):
-    """Grid (B, Np//T). Streams pred tiles; gt stays resident per batch row.
+    """Grid (B//8, Np//T). Each step handles 8 batch rows x one pred
+    tile against the full gt cloud; the [8, T, Ng] distance block lives
+    only in VMEM. gt-side minima accumulate across pred tiles (TPU grid
+    steps run sequentially, so read-modify-write is safe)."""
+    import jax.experimental.pallas as pl
 
-    Outputs per batch row: pred-side min/argmin [Np], gt-side min/argmin
-    [Ng] accumulated across pred tiles (TPU grid steps run sequentially,
-    so the read-modify-write accumulation on ming/argg is safe).
-    """
-    pred = pred_ref[0]  # [T, 3]
-    gt = gt_ref[0]      # [Ng, 3]
+    pred = pred_ref[:]  # [8, T, 3]
+    gt = gt_ref[:]      # [8, Ng, 3]
+    t = pred.shape[1]
 
-    t = pred.shape[0]
-
-    p2 = (pred**2).sum(-1)[:, None]          # [T, 1]
-    g2 = (gt**2).sum(-1)[None, :]            # [1, Ng]
-    d2 = p2 + g2 - 2.0 * jnp.dot(
-        pred, gt.T, preferred_element_type=jnp.float32, precision="highest"
-    )
-    d2 = jnp.maximum(d2, 0.0)
+    p2 = (pred**2).sum(-1)[:, :, None]       # [8, T, 1]
+    g2 = (gt**2).sum(-1)[:, None, :]         # [8, 1, Ng]
+    pg = jax.lax.dot_general(
+        pred, gt,
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )                                         # [8, T, Ng]
+    d2 = jnp.maximum(p2 + g2 - 2.0 * pg, 0.0)
 
     # pred-side: min over gt axis
-    minp_ref[0] = d2.min(axis=1)
-    argp_ref[0] = jnp.argmin(d2, axis=1).astype(jnp.int32)
+    minp_ref[:] = d2.min(axis=2)
+    argp_ref[:] = jnp.argmin(d2, axis=2).astype(jnp.int32)
 
     # gt-side: accumulate min over pred tiles
-    import jax.experimental.pallas as pl  # local import keeps module importable off-TPU
-
     j = pl.program_id(1)
-    local_min = d2.min(axis=0)                               # [Ng]
-    local_arg = jnp.argmin(d2, axis=0).astype(jnp.int32)     # index within tile
-    base = j * t
-    local_arg = local_arg + base
+    local_min = d2.min(axis=1)                               # [8, Ng]
+    local_arg = (jnp.argmin(d2, axis=1) + j * t).astype(jnp.int32)
 
     @pl.when(j == 0)
     def _init():
-        ming_ref[0] = local_min
-        argg_ref[0] = local_arg
+        ming_ref[:] = local_min
+        argg_ref[:] = local_arg
 
     @pl.when(j > 0)
     def _acc():
-        prev = ming_ref[0]
+        prev = ming_ref[:]
         take_new = local_min < prev
-        ming_ref[0] = jnp.where(take_new, local_min, prev)
-        argg_ref[0] = jnp.where(take_new, local_arg, argg_ref[0])
+        ming_ref[:] = jnp.where(take_new, local_min, prev)
+        argg_ref[:] = jnp.where(take_new, local_arg, argg_ref[:])
 
 
 def _chamfer_pallas_fwd_impl(pred, gt, tile: int):
     import jax.experimental.pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     b, np_, _ = pred.shape
     ng = gt.shape[1]
-    grid = (b, np_ // tile)
+    grid = (b // _BB, np_ // tile)
 
     out_shapes = (
         jax.ShapeDtypeStruct((b, np_), jnp.float32),
@@ -135,20 +135,25 @@ def _chamfer_pallas_fwd_impl(pred, gt, tile: int):
         jax.ShapeDtypeStruct((b, ng), jnp.float32),
         jax.ShapeDtypeStruct((b, ng), jnp.int32),
     )
+    from jax.experimental.pallas import tpu as pltpu
+
     minp, argp, ming, argg = pl.pallas_call(
         _chamfer_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, tile, 3), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, ng, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((_BB, tile, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((_BB, ng, 3), lambda i, j: (i, 0, 0)),
         ],
         out_specs=(
-            pl.BlockSpec((1, tile), lambda i, j: (i, j)),
-            pl.BlockSpec((1, tile), lambda i, j: (i, j)),
-            pl.BlockSpec((1, ng), lambda i, j: (i, 0)),
-            pl.BlockSpec((1, ng), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BB, tile), lambda i, j: (i, j)),
+            pl.BlockSpec((_BB, tile), lambda i, j: (i, j)),
+            pl.BlockSpec((_BB, ng), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BB, ng), lambda i, j: (i, 0)),
         ),
         out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(pred.astype(jnp.float32), gt.astype(jnp.float32))
     return minp, argp, ming, argg
 
@@ -198,7 +203,8 @@ chamfer_distance_pallas.defvjp(_chamfer_fwd, _chamfer_bwd)
 def best_chamfer(points_pred, points_gt):
     """Pick the Pallas kernel when eligible, else the tiled XLA path."""
     on_tpu = jax.default_backend() == "tpu"
-    np_ = points_pred.shape[1]
-    if on_tpu and np_ % 256 == 0 and points_gt.shape[1] % 128 == 0:
-        return chamfer_distance_pallas(points_pred, points_gt, 256)
+    b, np_ = points_pred.shape[0], points_pred.shape[1]
+    ng = points_gt.shape[1]
+    if on_tpu and b % _BB == 0 and np_ % 128 == 0 and ng % 128 == 0:
+        return chamfer_distance_pallas(points_pred, points_gt, 128)
     return chamfer_distance(points_pred, points_gt)

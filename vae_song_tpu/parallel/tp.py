@@ -30,15 +30,21 @@ def _spec_for(path: tuple, leaf) -> P:
     joined = "/".join(str(n) for n in names)
     shape = leaf.shape
 
-    if "MultiHeadDotProductAttention" in joined:
+    if "MultiHeadDotProductAttention" in joined or "MultiHeadAttention" in joined:
         if any(k in joined for k in ("query", "key", "value")):
             if "kernel" in joined and len(shape) == 3:
                 return P(None, "model", None)   # [d_model, heads, head_dim]
+            if "kernel" in joined and len(shape) == 2:
+                return P(None, "model")          # [d_model, d_model] cols = heads
             if "bias" in joined and len(shape) == 2:
                 return P("model", None)          # [heads, head_dim]
+            if "bias" in joined and len(shape) == 1:
+                return P("model")
         if "out" in joined:
             if "kernel" in joined and len(shape) == 3:
                 return P("model", None, None)    # [heads, head_dim, d_model]
+            if "kernel" in joined and len(shape) == 2:
+                return P("model", None)          # [d_model, d_model] rows = heads
             return P()                            # out bias [d_model] replicated
     # FFN inside transformer layers: Dense_0 = up (d->ff), Dense_1 = down
     if "TransformerEncoderLayer" in joined or "TransformerDecoderLayer" in joined:
