@@ -170,6 +170,33 @@ def generate_weighted_grid_mixture(
     )
 
 
+def generate_random_gaussian_mixture(
+    num_components, total_samples, weights=None, std=0.1, L=1.0, seed=None
+):
+    """Random-center GMM (dataset.py:310-359 — deprecated upstream in
+    favor of the simple mixture; kept for inventory parity).
+    Remainder samples go to the first component, as upstream."""
+    rng = np.random.default_rng(seed)
+    centers = rng.uniform(0, L, size=(num_components, 2))
+    if weights is None:
+        w = np.ones(num_components, np.float32) / num_components
+    else:
+        w = np.array(weights, np.float32)
+        w = w / w.sum()
+    counts = (w * total_samples).astype(int)
+    counts[0] += total_samples - counts.sum()
+    points, labels = [], []
+    for idx in range(num_components):
+        if counts[idx] <= 0:
+            continue
+        points.append(rng.standard_normal((counts[idx], 2)) * std + centers[idx])
+        labels.append(np.full(counts[idx], idx))
+    return (
+        np.vstack(points).astype(np.float32),
+        np.concatenate(labels).astype(np.int64),
+    )
+
+
 def generate_simple_gaussian_mixture(
     num_components,
     total_samples,

@@ -334,6 +334,7 @@ class FlexibleVAE(nn.Module):
         return self.decode(z, train), z, 0.0, z, 0.0
 
     def forward_ex(self, x, latent_rand_sampling: bool = True, train: bool = False):
+        """Latent recon with z encoded from x (model.py:467-477)."""
         mu, log_var = self.encode(x, train)
         log_var = self._maybe_fixed_var(log_var)
         if latent_rand_sampling:
@@ -344,6 +345,46 @@ class FlexibleVAE(nn.Module):
         recon = self.decode(z, train)
         z_recon, _ = self.encode(recon, train)
         return recon, mu, log_var, z, z_recon
+
+    def forward_qzx(self, x, latent_rand_sampling: bool = True, train: bool = False):
+        """Latent recon with mu as the lr target (model.py:479-489)."""
+        mu, log_var = self.encode(x, train)
+        log_var = self._maybe_fixed_var(log_var)
+        if latent_rand_sampling:
+            eps = jax.random.normal(self.make_rng("sampling"), mu.shape, mu.dtype)
+            z = mu + eps * jnp.exp(0.5 * log_var)
+        else:
+            z = mu
+        recon = self.decode(z, train)
+        z_recon, _ = self.encode(recon, train)
+        return recon, mu, log_var, mu, z_recon
+
+    def forward_pz(self, x, latent_rand_sampling: bool = True, train: bool = False):
+        """Latent recon with z sampled from the prior (model.py:491-501)."""
+        mu, log_var = self.encode(x, train)
+        log_var = self._maybe_fixed_var(log_var)
+        k1, k2 = jax.random.split(self.make_rng("sampling"))
+        if latent_rand_sampling:
+            z = mu + jax.random.normal(k1, mu.shape, mu.dtype) * jnp.exp(0.5 * log_var)
+        else:
+            z = mu
+        z_input = jax.random.normal(k2, mu.shape, mu.dtype) * jnp.exp(
+            0.5 * jnp.ones_like(log_var)
+        )
+        z_recon, _ = self.encode(self.decode(z_input, train), train)
+        return self.decode(z, train), mu, log_var, z_input, z_recon
+
+    def forward_legacy(self, x, latent_rand_sampling: bool = True, train: bool = False):
+        """z_source dispatch (model.py:450-461; 'regacy' in the original)."""
+        if not self.variational:
+            return self.forward_ae(x, train)
+        if self.z_source == "pz":
+            return self.forward_pz(x, latent_rand_sampling, train)
+        if self.z_source == "qzx":
+            return self.forward_qzx(x, latent_rand_sampling, train)
+        if self.z_source == "Ex":
+            return self.forward_ex(x, latent_rand_sampling, train)
+        raise ValueError("Invalid z_source")
 
     # --- losses ---------------------------------------------------------------
 

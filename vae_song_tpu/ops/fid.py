@@ -1,0 +1,51 @@
+"""Frechet Inception Distance — the metric math, extractor-agnostic.
+
+The reference shells out to the external `pytorch_fid` package
+(main.py:349-360) and only when generation-only mode runs. Here the
+Frechet distance itself is implemented (and tested) locally:
+
+    FID = ||mu1 - mu2||^2 + Tr(C1 + C2 - 2 (C1 C2)^{1/2})
+
+`fid_from_features` takes any two feature batches; `fid_score` plugs in
+a feature extractor callable (an InceptionV3 cannot be downloaded in
+no-egress environments, so the extractor is an argument — any jitted
+embedding function works, including a model's own encoder for
+relative comparisons).
+"""
+
+import numpy as np
+from scipy import linalg
+
+
+def gaussian_stats(features):
+    features = np.asarray(features, np.float64)
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def frechet_distance(mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+    """Frechet distance between two Gaussians (standard FID formula)."""
+    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
+    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2 * np.trace(covmean))
+
+
+def fid_from_features(feats_real, feats_fake) -> float:
+    mu1, s1 = gaussian_stats(feats_real)
+    mu2, s2 = gaussian_stats(feats_fake)
+    return frechet_distance(mu1, s1, mu2, s2)
+
+
+def fid_score(extractor, real_batches, fake_batches) -> float:
+    """extractor(batch) -> [B, D] features; batches are iterables."""
+    fr = np.concatenate([np.asarray(extractor(b)) for b in real_batches])
+    ff = np.concatenate([np.asarray(extractor(b)) for b in fake_batches])
+    return fid_from_features(fr, ff)
