@@ -1,0 +1,55 @@
+"""Checkpoint mid-run resume + data-parallel train_and_test."""
+
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from vae_song_tpu.models import LRVAE
+from vae_song_tpu.train.loop import train_and_test
+
+
+def _model():
+    return LRVAE.for_dataset("pinwheel", hidden_channels=(8, 8),
+                             encoder_type="mlp", decoder_type="mlp",
+                             beta=0.01, alpha=0.01)
+
+
+def _common(tmp_path, **kw):
+    return dict(
+        epochs=4,
+        batch_size=512,
+        dataset_name="pinwheel",
+        resultname="res_test",
+        dataset_params={"seed": 0},
+        output_root=str(tmp_path),
+        visualize_artifacts=False,
+        progress=False,
+        seed=0,
+        **kw,
+    )
+
+
+def test_checkpoint_and_resume(tmp_path):
+    state, summary = train_and_test(_model(), checkpoint_every=2, **_common(tmp_path))
+    ckpts = []
+    for root, _d, files in os.walk(str(tmp_path)):
+        ckpts += [os.path.join(root, f) for f in files if f.startswith("ckpt_")]
+    assert ckpts, "periodic checkpoint was not written"
+    ckpt = sorted(ckpts)[-1]  # ckpt_1 (epoch index 1)
+
+    state2, summary2 = train_and_test(
+        _model(), resume_from=ckpt, **_common(tmp_path)
+    )
+    # resumed run continued to the end and produced finite eval losses
+    assert np.isfinite(summary2["eval"]["loss"])
+    assert int(state2.step) > int(2 * (10000 // 512))  # > 2 epochs of steps
+
+
+def test_data_parallel_training(tmp_path):
+    assert len(jax.devices()) == 8
+    state, summary = train_and_test(
+        _model(), data_parallel=True, **_common(tmp_path)
+    )
+    assert np.isfinite(summary["eval"]["loss"])

@@ -11,7 +11,9 @@ from vae_song_tpu.train.loop import train_and_test
 
 
 def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
-                   fake_data: bool = False, profile_dir: str | None = None):
+                   fake_data: bool = False, profile_dir: str | None = None,
+                   resume_from: str | None = None, data_parallel: bool = False,
+                   checkpoint_every: int | None = None):
     config = load_config(config_path)
     exp_type = config["experiment_type"]
     common = config["common_params"]
@@ -46,6 +48,9 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             dataset_params=dataset_params,
             output_root=output_root,
             profile_dir=profile_dir,
+            resume_from=resume_from,
+            data_parallel=data_parallel,
+            checkpoint_every=checkpoint_every,
         )
         results.append(summary)
     return results
@@ -63,9 +68,16 @@ def main():
                              "need downloads (no-egress environments)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="jax.profiler trace of training epoch 1 -> this dir")
+    parser.add_argument("--resume_from", type=str, default=None,
+                        help="full checkpoint (ckpt_*.pkl) to resume training from")
+    parser.add_argument("--data_parallel", action="store_true",
+                        help="shard batches over all devices (shard_map DP)")
+    parser.add_argument("--checkpoint_every", type=int, default=None,
+                        help="save a resumable checkpoint every N epochs")
     args = parser.parse_args()
     run_experiment(args.config, args.output_root, args.seed, args.fake_data,
-                   args.profile_dir)
+                   args.profile_dir, args.resume_from, args.data_parallel,
+                   args.checkpoint_every)
 
 
 if __name__ == "__main__":

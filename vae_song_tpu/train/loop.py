@@ -88,8 +88,17 @@ def train_and_test(
     checkpoint_every: int | None = None,
     progress: bool = True,
     profile_dir: str | None = None,
+    resume_from: str | None = None,
+    data_parallel: bool = False,
 ):
-    """Returns (state, summary dict)."""
+    """Returns (state, summary dict).
+
+    resume_from: a full checkpoint (params + opt state + epoch) saved by
+    `checkpoint_every`; training continues from the next epoch — a
+    capability the reference lacks entirely (SURVEY.md §5).
+    data_parallel: shard batches over all available devices via
+    shard_map DP (grad/BN pmean over ICI); params replicated.
+    """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
     data_type = "1d" if dataset_name in ("pinwheel", "chessboard") else "2d"
@@ -119,6 +128,11 @@ def train_and_test(
         p, bs = ckpt_lib.load_params_only(pt_param, state.params, state.batch_stats)
         state = state.replace(params=p, batch_stats=bs if bs is not None else state.batch_stats)
 
+    start_epoch = 0
+    if resume_from is not None:
+        state, ckpt_epoch, _extra = ckpt_lib.load_checkpoint(resume_from, state)
+        start_epoch = ckpt_epoch + 1
+
     name = synth_run_name(model)
     result_dir = os.path.join(output_root, "results", resultname, name)
     os.makedirs(os.path.join(result_dir, "params"), exist_ok=True)
@@ -136,19 +150,42 @@ def train_and_test(
     )
     explog.log_model_info(model, state.params)
 
-    train_step = make_train_step(model, tx, L=num_mc_samples)
-    eval_step = make_eval_step(model)
+    mesh = None
+    if data_parallel and jax.device_count() > 1:
+        from vae_song_tpu.parallel import (
+            make_mesh, replicate_state, make_dp_train_step, make_dp_eval_step,
+            shard_batch,
+        )
+
+        mesh = make_mesh()
+        state = replicate_state(state, mesh)
+        train_step_dp = make_dp_train_step(model, tx, mesh, L=num_mc_samples)
+        eval_step_dp = make_dp_eval_step(model, mesh)
+
+        def train_step(state, x, wu, key):
+            return train_step_dp(state, shard_batch(x, mesh), wu, key)
+
+        def eval_step(state, x, wu, key):
+            return eval_step_dp(state, shard_batch(x, mesh), wu, key)
+    else:
+        train_step = make_train_step(model, tx, L=num_mc_samples)
+        eval_step = make_eval_step(model)
     encode_fn, decode_fn, forward_fn = make_apply_fns(model)
 
     has_warmup = hasattr(model, "alpha") and type(model).__name__.startswith(("LR", "SetLR"))
     wu_alpha = 0.0
     last_kl = 0.0
+    if has_warmup and start_epoch > 0:
+        # replay the (deterministic) warmup schedule over skipped epochs;
+        # kl_adaptive resumes from alpha(kl=0) — recorded limitation
+        for e in range(start_epoch):
+            wu_alpha = warmup_alpha(wu_alpha, e, epochs, wu_strat, last_kl_loss=last_kl)
     is_set_model = getattr(model, "data_type", None) == "set"
 
     t_start = time.time()
     eval_means = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
 
-    for epoch in range(epochs):
+    for epoch in range(start_epoch, epochs):
         if has_warmup:
             wu_alpha = warmup_alpha(
                 wu_alpha, epoch, epochs, wu_strat, last_kl_loss=last_kl
