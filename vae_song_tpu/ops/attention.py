@@ -66,6 +66,23 @@ def _flash_attention(q, k, v, scale):
     return out.transpose(0, 2, 1, 3)
 
 
+def sequence_sharded_attention(q, k, v, scale, axis_name: str,
+                               compute_dtype=jnp.bfloat16):
+    """Sequence-parallel self-attention (Ulysses-style all-gather variant).
+
+    Inside a shard_map whose mesh axis `axis_name` shards the POINT axis:
+    each device holds its query chunk [B, N/p, H, D] plus the matching
+    k/v chunk; k and v are all-gathered over ICI (cheap: the set models'
+    kv is ~2 MB) and attention runs locally against the full keys. This
+    is the scaling path for clouds larger than one chip's HBM — not
+    required for reference parity (SURVEY.md §2.5), provided as a
+    first-class op.
+    """
+    k_full = jax.lax.all_gather(k, axis_name, axis=1, tiled=True)
+    v_full = jax.lax.all_gather(v, axis_name, axis=1, tiled=True)
+    return _xla_attention(q, k_full, v_full, scale, compute_dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """torch-style MHA: q/k/v/out projections + scaled dot-product.
 
