@@ -73,15 +73,15 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
 
     mem0, dev0 = get_memory_usage_mb(), get_device_memory_usage_mb()
     t1 = time.time()
-    totals = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
-    n = 0
     rng, ev_key = jax.random.split(rng)
     ev_keys = jax.random.split(ev_key, max(1, len(test_ds) // batch_size))
+    acc, n = None, 0
     for i, (x, _y) in enumerate(iterate_batches(test_ds, batch_size, shuffle=False, rng=np_rng)):
         m = eval_step(state, x, one, ev_keys[i])
-        for k in totals:
-            totals[k] += float(m[k])
+        acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
         n += 1
+    totals = {k: float(v) for k, v in jax.device_get(acc).items()} if acc else {
+        "loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
     eval_time = time.time() - t1
     eval_mem = max(0.0, get_memory_usage_mb() - mem0)
     eval_dev = max(0.0, get_device_memory_usage_mb() - dev0)

@@ -198,7 +198,6 @@ def train_and_test(
         # transfers and fold_in dispatches cost ~ms each on tunneled TPUs
         wu_dev = jnp.float32(wu_alpha)
         step_keys = jax.random.split(ep_key, steps_per_epoch)
-        epoch_metrics = []
         profiling_this_epoch = profile_dir is not None and epoch == 1
         if profiling_this_epoch:
             # profile epoch 1 (epoch 0 includes compilation)
@@ -206,6 +205,7 @@ def train_and_test(
 
             prof_ctx = trace(profile_dir)
             prof_ctx.__enter__()
+        acc = None
         for i, (x, _y) in enumerate(
             iterate_batches(
                 train_ds, batch_size, rng=np_rng,
@@ -213,14 +213,15 @@ def train_and_test(
             )
         ):
             state, m = train_step(state, x, wu_dev, step_keys[i])
-            epoch_metrics.append(m)
+            # accumulate ON DEVICE; a single fetch per epoch (each
+            # host-side float() costs a relay round trip here)
+            acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
         if profiling_this_epoch:
-            jax.block_until_ready(m["loss"])
+            jax.block_until_ready(acc["loss"])
             prof_ctx.__exit__(None, None, None)
-        # pull metrics off-device once per epoch
-        for m in epoch_metrics:
-            for k in tot:
-                tot[k] += float(m[k])
+        acc_host = jax.device_get(acc)
+        for k in tot:
+            tot[k] += float(acc_host[k])
         nb = steps_per_epoch
         writer.add_scalar("loss/train", tot["loss"] / nb, epoch)
         writer.add_scalar("recon/train", tot["recon"] / nb, epoch)
@@ -236,16 +237,19 @@ def train_and_test(
         rng, ev_key = jax.random.split(rng)
         n_test_batches = num_batches(test_ds, batch_size)
         ev_keys = jax.random.split(ev_key, max(n_test_batches, 1))
-        eval_metrics = []
+        ev_acc = None
+        n_eval = 0
         for i, (x, yb) in enumerate(
             iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=np_rng)
         ):
-            eval_metrics.append(eval_step(state, x, wu_dev, ev_keys[i]))
+            m = eval_step(state, x, wu_dev, ev_keys[i])
+            ev_acc = m if ev_acc is None else jax.tree.map(jnp.add, ev_acc, m)
+            n_eval += 1
             last_eval_batch = (x, yb)
-        n_eval = len(eval_metrics)
-        for m in eval_metrics:
+        if ev_acc is not None:
+            ev_host = jax.device_get(ev_acc)
             for k in ev:
-                ev[k] += float(m[k])
+                ev[k] += float(ev_host[k])
         eval_means = {k: v / max(n_eval, 1) for k, v in ev.items()}
         writer.add_scalar("loss/test", eval_means["loss"], epoch)
 
