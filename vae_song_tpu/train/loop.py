@@ -150,6 +150,18 @@ def train_and_test(
     )
     explog.log_model_info(model, state.params)
 
+    # fully on-device epoch path: MLP-family models whose whole dataset
+    # fits in HBM train one epoch per dispatch via lax.scan (conv models
+    # stay on the dispatched step: conv-in-scan is slow on this backend)
+    use_scan = (
+        not data_parallel
+        and augment is None
+        and getattr(model, "encoder_type", "mlp") != "conv"
+        and getattr(model, "decoder_type", "mlp") != "conv"
+        and getattr(model, "data_type", None) != "set"
+        and train_ds.X.nbytes < 512 * 1024 * 1024
+    )
+
     mesh = None
     if data_parallel and jax.device_count() > 1:
         from vae_song_tpu.parallel import (
@@ -170,6 +182,40 @@ def train_and_test(
     else:
         train_step = make_train_step(model, tx, L=num_mc_samples)
         eval_step = make_eval_step(model)
+
+    epoch_fit = None
+    eval_epoch_fit = None
+    if use_scan:
+        from vae_song_tpu.train.scan import make_scanned_trainer
+
+        epoch_fit = make_scanned_trainer(
+            model, tx, batch_size, epochs=1, L=num_mc_samples,
+            beta=float(getattr(model, "beta", 1.0)) or 1.0,
+        )
+        train_X_dev = jnp.asarray(train_ds.X)
+
+        nb_test = num_batches(test_ds, batch_size)
+        test_X_batches = jnp.asarray(
+            test_ds.X[: nb_test * batch_size].reshape(
+                nb_test, batch_size, *test_ds.X.shape[1:]
+            )
+        )
+
+        @jax.jit
+        def eval_epoch_fit(state, xb, wu_alpha, rng):
+            keys = jax.random.split(rng, xb.shape[0])
+
+            def body(_, inp):
+                x, k = inp
+                outs = model.apply(
+                    {"params": state.params, "batch_stats": state.batch_stats},
+                    x, train=False, rngs={"sampling": k},
+                )
+                total, rec, reg_s, lr_s = model.loss(x, *outs, wu_alpha=wu_alpha)
+                return None, {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+
+            _, ms = jax.lax.scan(body, None, (xb, keys))
+            return jax.tree.map(lambda v: v.mean(), ms)
     encode_fn, decode_fn, forward_fn = make_apply_fns(model)
 
     has_warmup = hasattr(model, "alpha") and type(model).__name__.startswith(("LR", "SetLR"))
@@ -205,24 +251,34 @@ def train_and_test(
 
             prof_ctx = trace(profile_dir)
             prof_ctx.__enter__()
-        acc = None
-        for i, (x, _y) in enumerate(
-            iterate_batches(
-                train_ds, batch_size, rng=np_rng,
-                augment=augment, augment_key=aug_key,
+        if epoch_fit is not None:
+            # one dispatch for the whole epoch
+            state, em = epoch_fit(
+                state, train_X_dev, wu_dev.reshape(1), ep_key
             )
-        ):
-            state, m = train_step(state, x, wu_dev, step_keys[i])
-            # accumulate ON DEVICE; a single fetch per epoch (each
-            # host-side float() costs a relay round trip here)
-            acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
-        if profiling_this_epoch:
-            jax.block_until_ready(acc["loss"])
-            prof_ctx.__exit__(None, None, None)
-        acc_host = jax.device_get(acc)
-        for k in tot:
-            tot[k] += float(acc_host[k])
-        nb = steps_per_epoch
+            em_host = jax.device_get(em)
+            nb = 1  # epoch metrics are already step-means
+            for k in tot:
+                tot[k] = float(em_host[k])
+        else:
+            acc = None
+            for i, (x, _y) in enumerate(
+                iterate_batches(
+                    train_ds, batch_size, rng=np_rng,
+                    augment=augment, augment_key=aug_key,
+                )
+            ):
+                state, m = train_step(state, x, wu_dev, step_keys[i])
+                # accumulate ON DEVICE; a single fetch per epoch (each
+                # host-side float() costs a relay round trip here)
+                acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
+            if profiling_this_epoch:
+                jax.block_until_ready(acc["loss"])
+                prof_ctx.__exit__(None, None, None)
+            acc_host = jax.device_get(acc)
+            for k in tot:
+                tot[k] += float(acc_host[k])
+            nb = steps_per_epoch
         writer.add_scalar("loss/train", tot["loss"] / nb, epoch)
         writer.add_scalar("recon/train", tot["recon"] / nb, epoch)
         writer.add_scalar("reg/train", tot["reg"] / nb, epoch)
@@ -236,21 +292,28 @@ def train_and_test(
         ev = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
         rng, ev_key = jax.random.split(rng)
         n_test_batches = num_batches(test_ds, batch_size)
-        ev_keys = jax.random.split(ev_key, max(n_test_batches, 1))
-        ev_acc = None
-        n_eval = 0
-        for i, (x, yb) in enumerate(
-            iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=np_rng)
-        ):
-            m = eval_step(state, x, wu_dev, ev_keys[i])
-            ev_acc = m if ev_acc is None else jax.tree.map(jnp.add, ev_acc, m)
-            n_eval += 1
-            last_eval_batch = (x, yb)
-        if ev_acc is not None:
-            ev_host = jax.device_get(ev_acc)
-            for k in ev:
-                ev[k] += float(ev_host[k])
-        eval_means = {k: v / max(n_eval, 1) for k, v in ev.items()}
+        if eval_epoch_fit is not None:
+            em = jax.device_get(eval_epoch_fit(state, test_X_batches, wu_dev, ev_key))
+            eval_means = {k: float(v) for k, v in em.items()}
+            if last_epoch:
+                sel = np_rng.permutation(len(test_ds))[:batch_size]
+                last_eval_batch = (jnp.asarray(test_ds.X[sel]), test_ds.y[sel])
+        else:
+            ev_keys = jax.random.split(ev_key, max(n_test_batches, 1))
+            ev_acc = None
+            n_eval = 0
+            for i, (x, yb) in enumerate(
+                iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=np_rng)
+            ):
+                m = eval_step(state, x, wu_dev, ev_keys[i])
+                ev_acc = m if ev_acc is None else jax.tree.map(jnp.add, ev_acc, m)
+                n_eval += 1
+                last_eval_batch = (x, yb)
+            if ev_acc is not None:
+                ev_host = jax.device_get(ev_acc)
+                for k in ev:
+                    ev[k] += float(ev_host[k])
+            eval_means = {k: v / max(n_eval, 1) for k, v in ev.items()}
         writer.add_scalar("loss/test", eval_means["loss"], epoch)
 
         if progress and (epoch % max(1, epochs // 20) == 0 or last_epoch):
