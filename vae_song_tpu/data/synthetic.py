@@ -129,6 +129,8 @@ def generate_grid_mixture(K, N0, std=0.1, L=1.0, rng=None):
 
 
 def _distribute_counts(weights, total, rng):
+    weights = np.asarray(weights, np.float64)
+    weights = weights / weights.sum()  # exact-sum for rng.choice's p check
     counts = (weights * total).astype(int)
     remainder = total - counts.sum()
     if remainder != 0:
