@@ -243,7 +243,7 @@ def train_and_test(
         # hoist per-step device constants out of the hot loop: scalar H2D
         # transfers and fold_in dispatches cost ~ms each on tunneled TPUs
         wu_dev = jnp.float32(wu_alpha)
-        step_keys = jax.random.split(ep_key, steps_per_epoch)
+        step_keys = None if epoch_fit is not None else jax.random.split(ep_key, steps_per_epoch)
         profiling_this_epoch = profile_dir is not None and epoch == 1
         if profiling_this_epoch:
             # profile epoch 1 (epoch 0 includes compilation)
