@@ -80,13 +80,15 @@ def cellwise_decoder_lipschitz(
     return inv_a, b, bi
 
 
-def gather_cell_samples(mu, log_var, labels, num_cells, nsamples_z, key,
+def gather_cell_samples(mu, log_var, labels, num_cells, key,
                         samples_per_cell: int = 256):
     """Host-side prep: for each cell, draw `samples_per_cell` member
-    indices (with replacement) and reparameterize -> [C, S, zdim].
+    indices (with replacement) and reparameterize each once
+    -> [C, S, zdim].
 
-    Mirrors lipschitz.py:68 (reparameterize(ns=10) over the cell's
-    members) with a fixed-size batched layout.
+    Statistically equivalent coverage to lipschitz.py:68's
+    members x 10-reparam draw, with a fixed-size batched layout
+    (cells with fewer members up-sample with replacement).
     """
     mu = np.asarray(mu)
     log_var = np.asarray(log_var)

@@ -235,7 +235,7 @@ def main(argv=None):
 
     key, kg, kl_key = jax.random.split(key, 3)
     z_by_cell, valid, _ = analysis.gather_cell_samples(
-        mu_all, log_var_all, cell_labels, num_cells, nsamples_z=10, key=kg
+        mu_all, log_var_all, cell_labels, num_cells, key=kg
     )
     inv_x, lips_x, bi_x = analysis.cellwise_decoder_lipschitz(
         dec, z_by_cell, valid, kl_key, num_pairs=2000
