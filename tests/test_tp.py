@@ -39,6 +39,17 @@ def test_param_specs_shard_attention_and_ffn(key):
     # embedding / norm params stay replicated
     assert not any("LayerNorm" in s for s in model_sharded)
 
+    # Megatron pairing: FFN up kernel column-sharded, down kernel
+    # ROW-sharded (regression: the down path contains both Dense_1 and
+    # an inner Dense_0 token)
+    flat_all = jax.tree_util.tree_flatten_with_path(specs)[0]
+    for path, spec in flat_all:
+        s = "/".join(str(getattr(p, "key", p)) for p in path)
+        if "Dense_1/" in s and "kernel" in s and "TransformerEncoderLayer" in s:
+            assert spec == P("model", None), s
+        if "Dense_0/Dense_0/kernel" in s and "TransformerEncoderLayer" in s:
+            assert spec == P(None, "model"), s
+
 
 def test_tp_dp_step_runs(key):
     mesh = make_mesh(n_data=4, n_model=2)

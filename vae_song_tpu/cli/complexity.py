@@ -31,17 +31,11 @@ from vae_song_tpu.train.loggers import count_params
 from vae_song_tpu import viz
 
 
+from vae_song_tpu.train.profiling import device_memory_mb as get_device_memory_usage_mb
+
+
 def get_memory_usage_mb():
     return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
-
-
-def get_device_memory_usage_mb():
-    """Live HBM bytes on the first accelerator (0.0 on CPU backends)."""
-    try:
-        stats = jax.devices()[0].memory_stats()
-        return stats.get("bytes_in_use", 0) / (1024.0**2)
-    except Exception:
-        return 0.0
 
 
 def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,

@@ -23,8 +23,16 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
     if fake_data:
         dataset_params["fake"] = True
 
+    points = list(sweep_grid(config))
+    if resume_from is not None and len(points) > 1:
+        raise ValueError(
+            f"--resume_from with a {len(points)}-point sweep grid would restore "
+            f"one checkpoint (trained under a single hyperparameter setting) "
+            f"into every grid cell; narrow the config to the cell being resumed."
+        )
+
     results = []
-    for point in sweep_grid(config):
+    for point in points:
         model = build_model(
             exp_type,
             common["exp_data"],

@@ -53,9 +53,12 @@ def load_dataset(dataset_name: str, **kwargs):
                 K, total_samples, std=std, L=1.0,
                 weights=train_weights, pattern=pattern, seed=seed,
             )
+        # independent draw for the test set (the reference's sequential
+        # global-np.random draws are independent too, dataset.py:533-546)
+        test_rng = np.random.default_rng(None if seed is None else seed + 1)
         xte, yte = synthetic.generate_grid_mixture(
             K, test_N0 if test_N0 is not None else (total_samples // (K * K)),
-            std=std, L=1.0, rng=np.random.default_rng(seed),
+            std=std, L=1.0, rng=test_rng,
         )
         return ArrayDataset(xtr, ytr), ArrayDataset(xte, yte), None
 

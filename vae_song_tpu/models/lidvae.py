@@ -34,10 +34,13 @@ from vae_song_tpu.models.flexible import (
 )
 from vae_song_tpu.ops import losses
 
-# LIDVAE's own per-dataset defaults differ from FlexibleVAE for two
-# entries (model.py:660-687): celeba latent 64, omniglot hidden (32,64,128).
+# LIDVAE's own per-dataset defaults differ from FlexibleVAE
+# (model.py:660-687): celeba latent 64, mnist/fashionmnist latent 32,
+# omniglot hidden (32,64,128).
 LIDVAE_DATASET_OVERRIDES = {
     "celeba": dict(latent_channel=64),
+    "mnist": dict(latent_channel=32),
+    "fashionmnist": dict(latent_channel=32),
     "omniglot": dict(hidden_channels=(32, 64, 128)),
 }
 

@@ -46,14 +46,20 @@ def _spec_for(path: tuple, leaf) -> P:
             if "kernel" in joined and len(shape) == 2:
                 return P("model", None)          # [d_model, d_model] rows = heads
             return P()                            # out bias [d_model] replicated
-    # FFN inside transformer layers: Dense_0 = up (d->ff), Dense_1 = down
+    # FFN inside transformer layers. The wrapper Dense modules are named
+    # Dense_0 (up, d->ff) and Dense_1 (down, ff->d) at the LAYER level,
+    # but each wraps an inner nn.Dense auto-named Dense_0 — so the down
+    # path 'Dense_1/Dense_0/kernel' contains BOTH tokens. Check the
+    # down-projection first.
     if "TransformerEncoderLayer" in joined or "TransformerDecoderLayer" in joined:
-        if "Dense_0" in joined:
+        if "Dense_1/" in joined:
             if "kernel" in joined:
-                return P(None, "model")
-            return P("model")
-        if "Dense_1" in joined and "kernel" in joined:
-            return P("model", None)
+                return P("model", None)   # [ff, d_model] rows sharded
+            return P()                     # down bias [d_model] replicated
+        if "Dense_0/" in joined:
+            if "kernel" in joined:
+                return P(None, "model")   # [d_model, ff] cols sharded
+            return P("model")              # up bias [ff] sharded
     return P()
 
 

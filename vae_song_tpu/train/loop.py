@@ -153,11 +153,18 @@ def train_and_test(
     # fully on-device epoch path: MLP-family models whose whole dataset
     # fits in HBM train one epoch per dispatch via lax.scan (conv models
     # stay on the dispatched step: conv-in-scan is slow on this backend)
+    def _model_uses_conv(m) -> bool:
+        if type(m).__name__ == "LIDVAE":
+            return m.data_type == "2d"  # LIDVAE's 2d encoder is conv
+        return (
+            getattr(m, "encoder_type", "mlp") == "conv"
+            or getattr(m, "decoder_type", "mlp") == "conv"
+        )
+
     use_scan = (
         not data_parallel
         and augment is None
-        and getattr(model, "encoder_type", "mlp") != "conv"
-        and getattr(model, "decoder_type", "mlp") != "conv"
+        and not _model_uses_conv(model)
         and getattr(model, "data_type", None) != "set"
         and train_ds.X.nbytes < 512 * 1024 * 1024
     )
@@ -252,7 +259,8 @@ def train_and_test(
             prof_ctx = trace(profile_dir)
             prof_ctx.__enter__()
         if epoch_fit is not None:
-            # one dispatch for the whole epoch
+            # one dispatch for the whole epoch; metrics are step-means +
+            # the last batch's KL (feeds kl_adaptive like model.py:614)
             state, em = epoch_fit(
                 state, train_X_dev, wu_dev.reshape(1), ep_key
             )
@@ -260,6 +268,7 @@ def train_and_test(
             nb = 1  # epoch metrics are already step-means
             for k in tot:
                 tot[k] = float(em_host[k])
+            last_batch_reg = float(em_host.get("last_reg", em_host["reg"]))
         else:
             acc = None
             for i, (x, _y) in enumerate(
@@ -272,20 +281,23 @@ def train_and_test(
                 # accumulate ON DEVICE; a single fetch per epoch (each
                 # host-side float() costs a relay round trip here)
                 acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
-            if profiling_this_epoch:
-                jax.block_until_ready(acc["loss"])
-                prof_ctx.__exit__(None, None, None)
-            acc_host = jax.device_get(acc)
+            acc_host, m_host = jax.device_get((acc, m))
             for k in tot:
                 tot[k] += float(acc_host[k])
             nb = steps_per_epoch
+            last_batch_reg = float(m_host["reg"])
+        if profiling_this_epoch:
+            jax.block_until_ready(state.step)
+            prof_ctx.__exit__(None, None, None)
         writer.add_scalar("loss/train", tot["loss"] / nb, epoch)
         writer.add_scalar("recon/train", tot["recon"] / nb, epoch)
         writer.add_scalar("reg/train", tot["reg"] / nb, epoch)
 
-        # feed kl_adaptive warmup: last (unscaled) KL of the epoch
+        # feed kl_adaptive warmup with the LAST batch's raw KL — the
+        # reference stores loss_reg per loss() call so the final batch
+        # wins (model.py:62, 614)
         beta = float(getattr(model, "beta", 1.0)) or 1.0
-        last_kl = (tot["reg"] / nb) / beta if has_warmup else 0.0
+        last_kl = last_batch_reg / beta if has_warmup else 0.0
 
         # ---- eval every epoch (main.py:303) ----
         last_epoch = epoch == epochs - 1

@@ -84,7 +84,10 @@ def make_scanned_trainer(model, tx, batch_size: int, epochs: int,
 
             state, metrics = jax.lax.scan(step_body, state, (perm, step_keys))
             epoch_metrics = jax.tree.map(lambda v: v.mean(), metrics)
-            new_last_kl = epoch_metrics["reg"] / beta
+            # kl_adaptive keys off the LAST batch's raw KL (the reference
+            # overwrites last_kl_loss every loss() call, model.py:614)
+            epoch_metrics["last_reg"] = metrics["reg"][-1]
+            new_last_kl = metrics["reg"][-1] / beta
             return (state, new_last_kl), epoch_metrics
 
         epoch_keys = jax.random.split(rng, epochs)
