@@ -34,6 +34,26 @@ def load_checkpoint(path, template_state: TrainState):
     return state, payload["epoch"], payload.get("extra", {})
 
 
+def save_checkpoint_orbax(path, state: TrainState, epoch: int = 0):
+    """Orbax-backed snapshot (directory-based, TPU-native layout).
+    Optional alternative to the pickle format — same contents."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, {"state": state, "epoch": epoch}, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(path, template_state: TrainState):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, {"state": template_state, "epoch": 0})
+    return restored["state"], restored["epoch"]
+
+
 def save_params_only(path, params, batch_stats=None):
     """State-dict-shaped export for parity tooling (test.py:162-163
     analogue): just the model variables, no optimizer."""
