@@ -31,7 +31,7 @@ def test_scanned_training_decreases_loss(key):
     state = TrainState.create(params, bs, tx)
     epochs = 30
     fit = make_scanned_trainer(m, tx, batch_size=64, epochs=epochs,
-                               grad_mode="composite", beta=0.1)
+                               grad_mode="composite")
     alphas = precompute_alphas(epochs, "linear", initial_alpha=1.0)
     state2, last = fit(state, jnp.asarray(X), alphas, key)
     # step counter advanced the full run: epochs * (512 // 64)
@@ -41,7 +41,7 @@ def test_scanned_training_decreases_loss(key):
     # fresh run for the early-loss comparison (fit donates its input)
     state3 = TrainState.create(*init_model(m, X[:64], seed=0), tx)
     fit1 = make_scanned_trainer(m, tx, batch_size=64, epochs=1,
-                                grad_mode="composite", beta=0.1)
+                                grad_mode="composite")
     _, first = fit1(state3, jnp.asarray(X), precompute_alphas(1, "linear", initial_alpha=1.0), key)
     assert float(last["loss"]) < float(first["loss"])
 
@@ -54,6 +54,6 @@ def test_scanned_kl_adaptive_runs(key):
     tx = make_optimizer(lr=1e-3)
     state = TrainState.create(params, bs, tx)
     fit = make_scanned_trainer(m, tx, batch_size=64, epochs=5,
-                               grad_mode="composite", kl_adaptive=True, beta=0.5)
+                               grad_mode="composite", kl_adaptive=True)
     state2, last = fit(state, jnp.asarray(X), None, key)
     assert np.isfinite(float(last["loss"]))

@@ -84,7 +84,6 @@ def train_model(model, train_ds, args, grad_clip_cfg, experiment_logger=None,
     tx = make_optimizer(lr=args.lr, total_steps=None, grad_clip=grad_clip_cfg)
     state = TrainState.create(params, batch_stats, tx)
 
-    beta = float(getattr(model, "beta", 1.0)) or 1.0
     kl_adaptive = args.wu_strat == "kl_adaptive" and hasattr(model, "alpha")
     if hasattr(model, "alpha"):
         alphas = precompute_alphas(
@@ -100,11 +99,11 @@ def train_model(model, train_ds, args, grad_clip_cfg, experiment_logger=None,
 
     fit = make_scanned_trainer(
         model, tx, args.batch_size, args.epochs,
-        grad_mode="composite", kl_adaptive=kl_adaptive, beta=beta,
+        grad_mode="composite", kl_adaptive=kl_adaptive,
     )
     state, last_metrics = fit(state, jnp.asarray(train_ds.X), alphas, rng)
     wu_alpha = float(alphas[-1]) if alphas is not None else float(
-        jax.nn.sigmoid(5.0 - last_metrics["reg"] / beta)
+        jax.nn.sigmoid(5.0 - last_metrics["raw_kl"])
     )
     return state, wu_alpha
 

@@ -249,14 +249,19 @@ def _rotation_crop_matrix(key, h, w, degrees, scale_range, ratio_range):
 
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     cos, sin = jnp.cos(angle), jnp.sin(angle)
-    # output (y, x) -> crop coords -> rotate about center
-    sy = crop_h / h
-    sx = crop_w / w
-    # compose: p_in = R @ (p_crop - c) + c, p_crop = S @ p_out + t
+    # inverse map, output (y, x) -> input: first undo the resized crop
+    # (p_crop = S @ p_out + t), then undo the rotation about the center
+    # (p_in = R @ (p_crop - c) + c) — i.e. crop(rotate(img)), matching
+    # torchvision's RandomRotation -> RandomResizedCrop order.
+    # map output [0, h-1] onto the crop window [top, top+crop_h-1]
+    sy = (crop_h - 1.0) / (h - 1.0)
+    sx = (crop_w - 1.0) / (w - 1.0)
+    # m = [R S | R (t - c) + c]
+    ty, tx = top - cy, left - cx
     m = jnp.array(
         [
-            [cos * sy, -sin * sx, top + cy - cos * sy * cy + sin * sx * cx],
-            [sin * sy, cos * sx, left + cx - sin * sy * cy - cos * sx * cx],
+            [cos * sy, -sin * sx, cos * ty - sin * tx + cy],
+            [sin * sy, cos * sx, sin * ty + cos * tx + cx],
         ]
     )
     return m

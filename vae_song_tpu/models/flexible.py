@@ -167,23 +167,28 @@ class MLPDecoder2D(nn.Module):
 
 class UpConv(nn.Module):
     """ConvTranspose(k3, s2) that reproduces torch's
-    out = 2*in - 1 + output_padding via 'SAME' transposed conv + crop."""
+    out = 2*in - 1 + output_padding via 'SAME' transposed conv + crop.
+
+    Init parity: torch ConvTranspose2d weight is (in, out, kH, kW) so
+    its kaiming_uniform(a=sqrt(5)) fan is out_channels*k*k — i.e.
+    'fan_out' of the flax (kh, kw, in, out) kernel."""
 
     features: int
     output_padding: int
 
     @nn.compact
     def __call__(self, x):
-        from vae_song_tpu.nn.initializers import torch_linear_kernel_init, torch_bias_init
+        from jax.nn.initializers import variance_scaling
+        from vae_song_tpu.nn.initializers import torch_bias_init
 
-        fan_in = x.shape[-1] * 9
+        fan = self.features * 9
         y = nn.ConvTranspose(
             self.features,
             kernel_size=(3, 3),
             strides=(2, 2),
             padding="SAME",
-            kernel_init=torch_linear_kernel_init,
-            bias_init=torch_bias_init(fan_in),
+            kernel_init=variance_scaling(1.0 / 3.0, "fan_out", "uniform"),
+            bias_init=torch_bias_init(fan),
         )(x)
         if self.output_padding == 0:
             y = y[:, :-1, :-1, :]
@@ -215,8 +220,19 @@ class ConvDecoder2D(nn.Module):
         x = UpConv(last, self.transpose_padding[-1])(x)
         x = BatchNorm()(x, train)
         x = lrelu(x)
-        # final size-preserving ConvTranspose(k3, s1, p1) == size-preserving conv
-        x = Conv(self.in_channel, 3, 1, 1)(x)
+        # final size-preserving ConvTranspose(k3, s1, p1) == size-preserving
+        # conv; torch's ConvTranspose init fan here is in_channel*9
+        from jax.nn.initializers import variance_scaling
+        from vae_song_tpu.nn.initializers import torch_bias_init
+
+        x = nn.Conv(
+            self.in_channel,
+            kernel_size=(3, 3),
+            strides=(1, 1),
+            padding=[(1, 1)] * 2,
+            kernel_init=variance_scaling(1.0 / 3.0, "fan_out", "uniform"),
+            bias_init=torch_bias_init(self.in_channel * 9),
+        )(x)
         return x
 
 

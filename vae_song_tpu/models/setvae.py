@@ -27,49 +27,59 @@ from vae_song_tpu.ops.attention import MultiHeadAttention
 
 
 class TransformerEncoderLayer(nn.Module):
-    """torch nn.TransformerEncoderLayer (post-norm, ReLU FFN); the
-    self-attention over the N-point axis runs the Pallas flash kernel
-    where eligible (ops/attention.py)."""
+    """torch nn.TransformerEncoderLayer (post-norm, ReLU FFN, dropout on
+    attention weights/outputs and inside the FFN)."""
 
     d_model: int
     num_heads: int
     ff_dim: int
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
+        det = not train
         attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
-        )(x, x)
+            dropout_rate=self.dropout_rate,
+        )(x, x, train)
+        attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
         ff = Dense(self.ff_dim)(x)
-        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout_rate)(nn.relu(ff), deterministic=det)
         ff = Dense(self.d_model)(ff)
+        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
         return nn.LayerNorm(epsilon=1e-5)(x + ff)
 
 
 class TransformerDecoderLayer(nn.Module):
-    """torch nn.TransformerDecoderLayer: self-attn, cross-attn, FFN.
-    Self-attention over the 2048 learned queries uses the flash path;
-    the cross-attention to a single latent memory token stays on XLA
-    (length-1 kv — nothing to tile)."""
+    """torch nn.TransformerDecoderLayer: self-attn, cross-attn, FFN,
+    with dropout at the torch positions. The cross-attention to a
+    single latent memory token stays on XLA (length-1 kv)."""
 
     d_model: int
     num_heads: int
     ff_dim: int
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, tgt, memory):
+    def __call__(self, tgt, memory, train: bool = False):
+        det = not train
         sa = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
-        )(tgt, tgt)
+            dropout_rate=self.dropout_rate,
+        )(tgt, tgt, train)
+        sa = nn.Dropout(self.dropout_rate)(sa, deterministic=det)
         tgt = nn.LayerNorm(epsilon=1e-5)(tgt + sa)
         ca = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
-        )(tgt, memory)
+            dropout_rate=self.dropout_rate,
+        )(tgt, memory, train)
+        ca = nn.Dropout(self.dropout_rate)(ca, deterministic=det)
         tgt = nn.LayerNorm(epsilon=1e-5)(tgt + ca)
         ff = Dense(self.ff_dim)(tgt)
-        ff = nn.relu(ff)
+        ff = nn.Dropout(self.dropout_rate)(nn.relu(ff), deterministic=det)
         ff = Dense(self.d_model)(ff)
+        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
         return nn.LayerNorm(epsilon=1e-5)(tgt + ff)
 
 
@@ -104,12 +114,15 @@ class SetEncoderAttn(nn.Module):
     num_heads: int = 4
     num_layers: int = 2
     ff_dim: int = 512
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, points, train: bool = False):
         x = Dense(self.d_model)(points)
         for _ in range(self.num_layers):
-            x = TransformerEncoderLayer(self.d_model, self.num_heads, self.ff_dim)(x)
+            x = TransformerEncoderLayer(
+                self.d_model, self.num_heads, self.ff_dim, self.dropout_rate
+            )(x, train)
         s = x.max(axis=1)  # AdaptiveMaxPool1d(1) over points
         return Dense(self.latent_dim)(s), Dense(self.latent_dim)(s)
 
@@ -151,6 +164,7 @@ class SetDecoderAttn(nn.Module):
     num_heads: int = 4
     num_layers: int = 2
     ff_dim: int = 512
+    dropout_rate: float = 0.0
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -163,7 +177,9 @@ class SetDecoderAttn(nn.Module):
         memory = Dense(self.d_model)(z)[:, None, :]  # [B, 1, d_model]
         x = jnp.broadcast_to(queries[None], (b, self.num_points, self.d_model))
         for _ in range(self.num_layers):
-            x = TransformerDecoderLayer(self.d_model, self.num_heads, self.ff_dim)(x, memory)
+            x = TransformerDecoderLayer(
+                self.d_model, self.num_heads, self.ff_dim, self.dropout_rate
+            )(x, memory, train)
         return Dense(3)(x)
 
 
@@ -197,6 +213,7 @@ class SetVAE(nn.Module):
                 num_heads=self.num_heads,
                 num_layers=self.num_encoder_layers,
                 ff_dim=self.ff_dim,
+                dropout_rate=self.attn_dropout,
             )
             self.decoder = SetDecoderAttn(
                 latent_dim=self.latent_channel,
@@ -205,6 +222,7 @@ class SetVAE(nn.Module):
                 num_heads=self.num_heads,
                 num_layers=self.num_decoder_layers,
                 ff_dim=self.ff_dim,
+                dropout_rate=self.attn_dropout,
             )
         else:
             self.encoder = SetEncoder(

@@ -19,8 +19,17 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import flax.linen as nn
+from jax import random as jrandom
 
-from vae_song_tpu.nn.blocks import Dense
+from vae_song_tpu.nn.initializers import torch_linear_kernel_init
+
+
+def _mha_in_proj_init(key, shape, dtype=jnp.float32):
+    """torch nn.MultiheadAttention in-proj init: xavier_uniform_ on the
+    stacked (3E, E) weight -> bound sqrt(6/(E + 3E)) = sqrt(1.5/fan_in)."""
+    fan_in = shape[0]
+    bound = float(np.sqrt(1.5 / fan_in))
+    return jrandom.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
 def _flash_ok(q, k) -> bool:
@@ -98,26 +107,55 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     d_model: int
     use_flash: bool = False
+    dropout_rate: float = 0.0
 
     @nn.compact
-    def __call__(self, inputs_q, inputs_kv):
+    def __call__(self, inputs_q, inputs_kv, train: bool = False):
         h = self.num_heads
         d = self.d_model // h
         scale = 1.0 / float(np.sqrt(d))
 
-        q = Dense(self.d_model, name="query")(inputs_q)
-        k = Dense(self.d_model, name="key")(inputs_kv)
-        v = Dense(self.d_model, name="value")(inputs_kv)
+        # torch MHA _reset_parameters: in-proj xavier_uniform, in-proj
+        # bias zeros, out-proj weight Linear-default, out-proj bias zeros
+        def in_proj(name):
+            return nn.Dense(
+                self.d_model, name=name,
+                kernel_init=_mha_in_proj_init,
+                bias_init=nn.initializers.zeros,
+            )
+
+        q = in_proj("query")(inputs_q)
+        k = in_proj("key")(inputs_kv)
+        v = in_proj("value")(inputs_kv)
         b, n_q = q.shape[0], q.shape[1]
         n_kv = k.shape[1]
         q = q.reshape(b, n_q, h, d)
         k = k.reshape(b, n_kv, h, d)
         v = v.reshape(b, n_kv, h, d)
 
-        if self.use_flash and _flash_ok(q, k):
+        if self.dropout_rate > 0.0:
+            # torch MHA drops attention WEIGHTS — requires materialized
+            # scores, so this path is XLA-only (flash keeps them in VMEM)
+            logits = jnp.einsum(
+                "bqhd,bkhd->bhqk",
+                q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ) * scale
+            weights = jax.nn.softmax(logits, axis=-1)
+            weights = nn.Dropout(self.dropout_rate)(weights, deterministic=not train)
+            out = jnp.einsum(
+                "bhqk,bkhd->bqhd",
+                weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(q.dtype)
+        elif self.use_flash and _flash_ok(q, k):
             out = _flash_attention(q, k, v, scale)
         else:
             out = _xla_attention(q, k, v, scale)
 
         out = out.reshape(b, n_q, self.d_model)
-        return Dense(self.d_model, name="out")(out)
+        return nn.Dense(
+            self.d_model, name="out",
+            kernel_init=torch_linear_kernel_init,
+            bias_init=nn.initializers.zeros,
+        )(out)

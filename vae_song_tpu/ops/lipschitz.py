@@ -12,7 +12,6 @@ handling is needed — `jax.grad` inside f works under jit.
 """
 
 import jax
-import jax.numpy as jnp
 
 
 def estimate_local_lipschitz(
@@ -24,10 +23,18 @@ def estimate_local_lipschitz(
     quantile: float = 0.05,
     eps: float = 1e-3,
 ):
-    """Returns (inverse_lipschitz, lipschitz, bi_lipschitz) floats."""
+    """Returns (inverse_lipschitz, lipschitz, bi_lipschitz) floats.
+
+    Shares the pair-ratio quantile math with the batched cell-field
+    analysis (analysis._quantile_ratios) so the two can't drift.
+    """
+    from vae_song_tpu.analysis import _quantile_ratios
+
     n = X.shape[0]
     if n < 2:
         return 0.0, 0.0, 0.0
+    if metric != 2:
+        raise NotImplementedError("only the L2 metric is supported")
     k1, k2 = jax.random.split(key)
     idx1 = jax.random.randint(k1, (num_pairs,), 0, n)
     idx2 = jax.random.randint(k2, (num_pairs,), 0, n)
@@ -35,15 +42,7 @@ def estimate_local_lipschitz(
     x2 = X[idx2]
     y1 = func(x1)
     y2 = func(x2)
-    diff_y = jnp.linalg.norm(
-        (y1 - y2).reshape(num_pairs, -1), ord=metric, axis=1
-    ).clip(min=eps)
-    diff_x = jnp.linalg.norm(
-        (x1 - x2).reshape(num_pairs, -1), ord=metric, axis=1
-    ).clip(min=eps)
-    ratio = diff_y / diff_x
-    a = jnp.quantile(ratio, quantile).clip(min=eps)
-    b = jnp.quantile(ratio, 1.0 - quantile)
-    inv_a = 1.0 / a
-    bi = jnp.maximum(inv_a, b)
-    return float(inv_a), float(b), float(bi)
+    inv_a, b, bi = _quantile_ratios(
+        y1[None], y2[None], x1[None], x2[None], quantile, eps
+    )
+    return float(inv_a[0]), float(b[0]), float(bi[0])

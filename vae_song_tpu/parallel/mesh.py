@@ -60,7 +60,7 @@ def make_dp_train_step(model, tx, mesh: Mesh, L: int = 1) -> Callable:
     def per_device(state: TrainState, x, wu_alpha, rng):
         # decorrelate sampling across shards
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-        grads, (total, rec, reg_s, lr_s, new_bs) = grads_fn(
+        grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
             state.params, state.batch_stats, x, wu_alpha, rng
         )
         # gradient all-reduce over ICI
@@ -68,7 +68,8 @@ def make_dp_train_step(model, tx, mesh: Mesh, L: int = 1) -> Callable:
         # cross-replica BN: average the updated running stats
         new_bs = jax.lax.pmean(new_bs, "data")
         metrics = jax.lax.pmean(
-            {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}, "data"
+            {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s, "raw_kl": raw_kl},
+            "data",
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)

@@ -115,7 +115,7 @@ def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
     repl = NamedSharding(mesh, P())
 
     def _step(state: TrainState, x, wu_alpha, rng):
-        grads, (total, rec, reg_s, lr_s, new_bs) = grads_fn(
+        grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
             state.params, state.batch_stats, x, wu_alpha, rng
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -124,9 +124,9 @@ def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
             params=new_params, batch_stats=new_bs,
             opt_state=new_opt, step=state.step + 1,
         )
-        return new_state, {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+        return new_state, {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s, "raw_kl": raw_kl}
 
-    metrics_sh = {"loss": repl, "recon": repl, "reg": repl, "lr": repl}
+    metrics_sh = {"loss": repl, "recon": repl, "reg": repl, "lr": repl, "raw_kl": repl}
     return jax.jit(
         _step,
         in_shardings=(sh, data_sh, repl, repl),

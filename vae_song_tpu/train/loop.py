@@ -58,9 +58,9 @@ def synth_run_name(model, alpha=None) -> str:
 
 def init_model(model, sample_x, seed=0, L=1):
     key = jax.random.PRNGKey(seed)
-    k_params, k_sampling = jax.random.split(key)
+    k_params, k_sampling, k_drop = jax.random.split(key, 3)
     variables = model.init(
-        {"params": k_params, "sampling": k_sampling},
+        {"params": k_params, "sampling": k_sampling, "dropout": k_drop},
         jnp.asarray(sample_x),
         L=L,
         train=True,
@@ -197,7 +197,6 @@ def train_and_test(
 
         epoch_fit = make_scanned_trainer(
             model, tx, batch_size, epochs=1, L=num_mc_samples,
-            beta=float(getattr(model, "beta", 1.0)) or 1.0,
         )
         train_X_dev = jnp.asarray(train_ds.X)
 
@@ -237,6 +236,7 @@ def train_and_test(
 
     t_start = time.time()
     eval_means = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
+    last_eval_batch = None  # stays None when test set < one batch
 
     for epoch in range(start_epoch, epochs):
         if has_warmup:
@@ -268,7 +268,7 @@ def train_and_test(
             nb = 1  # epoch metrics are already step-means
             for k in tot:
                 tot[k] = float(em_host[k])
-            last_batch_reg = float(em_host.get("last_reg", em_host["reg"]))
+            last_batch_raw_kl = float(em_host.get("last_raw_kl", em_host.get("raw_kl", 0.0)))
         else:
             acc = None
             for i, (x, _y) in enumerate(
@@ -285,7 +285,7 @@ def train_and_test(
             for k in tot:
                 tot[k] += float(acc_host[k])
             nb = steps_per_epoch
-            last_batch_reg = float(m_host["reg"])
+            last_batch_raw_kl = float(m_host["raw_kl"])
         if profiling_this_epoch:
             jax.block_until_ready(state.step)
             prof_ctx.__exit__(None, None, None)
@@ -293,11 +293,10 @@ def train_and_test(
         writer.add_scalar("recon/train", tot["recon"] / nb, epoch)
         writer.add_scalar("reg/train", tot["reg"] / nb, epoch)
 
-        # feed kl_adaptive warmup with the LAST batch's raw KL — the
-        # reference stores loss_reg per loss() call so the final batch
-        # wins (model.py:62, 614)
-        beta = float(getattr(model, "beta", 1.0)) or 1.0
-        last_kl = last_batch_reg / beta if has_warmup else 0.0
+        # feed kl_adaptive warmup with the LAST batch's raw (unscaled)
+        # KL — the reference stores loss_reg per loss() call so the
+        # final batch wins (model.py:62, 614); beta-independent
+        last_kl = last_batch_raw_kl if has_warmup else 0.0
 
         # ---- eval every epoch (main.py:303) ----
         last_epoch = epoch == epochs - 1
@@ -347,7 +346,7 @@ def train_and_test(
                 state.params,
                 state.batch_stats,
             )
-            if visualize_artifacts and not is_set_model:
+            if visualize_artifacts and not is_set_model and last_eval_batch is not None:
                 _dump_artifacts(
                     model, state, last_eval_batch, encode_fn, decode_fn, forward_fn,
                     data_type, resultname, name, epoch, output_root, rng,

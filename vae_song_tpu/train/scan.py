@@ -42,7 +42,7 @@ def precompute_alphas(epochs, wu_strat="linear", up_amount=None, start_epoch=0,
 
 def make_scanned_trainer(model, tx, batch_size: int, epochs: int,
                          grad_mode: str | None = None, L: int = 1,
-                         kl_adaptive: bool = False, beta: float = 1.0):
+                         kl_adaptive: bool = False):
     """Returns fit(state, X, alphas, rng) -> (state, last_epoch_metrics),
     a single jitted program running the full training.
 
@@ -71,7 +71,7 @@ def make_scanned_trainer(model, tx, batch_size: int, epochs: int,
             def step_body(state, sinputs):
                 idx, key = sinputs
                 x = jnp.take(X, idx, axis=0)
-                grads, (total, rec, reg_s, lr_s, new_bs) = grads_fn(
+                grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
                     state.params, state.batch_stats, x, wu_alpha, key
                 )
                 updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -80,14 +80,15 @@ def make_scanned_trainer(model, tx, batch_size: int, epochs: int,
                     params=new_params, batch_stats=new_bs,
                     opt_state=new_opt, step=state.step + 1,
                 )
-                return state, {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+                return state, {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s, "raw_kl": raw_kl}
 
             state, metrics = jax.lax.scan(step_body, state, (perm, step_keys))
             epoch_metrics = jax.tree.map(lambda v: v.mean(), metrics)
-            # kl_adaptive keys off the LAST batch's raw KL (the reference
-            # overwrites last_kl_loss every loss() call, model.py:614)
-            epoch_metrics["last_reg"] = metrics["reg"][-1]
-            new_last_kl = metrics["reg"][-1] / beta
+            # kl_adaptive keys off the LAST batch's raw (unscaled) KL —
+            # the reference overwrites last_kl_loss every loss() call
+            # (model.py:614); beta plays no role here
+            epoch_metrics["last_raw_kl"] = metrics["raw_kl"][-1]
+            new_last_kl = metrics["raw_kl"][-1]
             return (state, new_last_kl), epoch_metrics
 
         epoch_keys = jax.random.split(rng, epochs)

@@ -58,23 +58,33 @@ def make_grads_fn(model, L: int = 1, grad_mode: str | None = None) -> Callable:
     staged = (grad_mode or getattr(model, "grad_mode", "composite")) == "staged"
 
     def forward_losses(params, batch_stats, x, wu_alpha, rng):
+        from vae_song_tpu.ops import losses as loss_lib
+
+        k_sample, k_drop = jax.random.split(rng)
         outs, mut = model.apply(
             {"params": params, "batch_stats": batch_stats},
             x,
             L=L,
             train=True,
-            rngs={"sampling": rng},
+            rngs={"sampling": k_sample, "dropout": k_drop},
             mutable=["batch_stats"],
         )
         total, rec, reg_s, lr_s = model.loss(x, *outs, wu_alpha=wu_alpha)
-        return total, rec, reg_s, lr_s, mut["batch_stats"]
+        # the UNSCALED regularizer the reference stashes as last_kl_loss
+        # (model.py:614, incl. the pwise mix) — beta-independent so
+        # kl_adaptive warmup works even at beta=0
+        mu, log_var = outs[1], outs[2]
+        raw_kl = loss_lib.kl_divergence(mu, log_var)
+        if getattr(model, "pwise_reg", False) and outs[3] is not None:
+            raw_kl = loss_lib.pairwise_reg(raw_kl, outs[3])
+        return total, rec, reg_s, lr_s, raw_kl, mut["batch_stats"]
 
     if staged:
 
         def grads_fn(params, batch_stats, x, wu_alpha, rng):
             def two_losses(p):
-                total, rec, reg_s, lr_s, bs = forward_losses(p, batch_stats, x, wu_alpha, rng)
-                return (rec + reg_s, lr_s), (total, rec, reg_s, lr_s, bs)
+                total, rec, reg_s, lr_s, raw_kl, bs = forward_losses(p, batch_stats, x, wu_alpha, rng)
+                return (rec + reg_s, lr_s), (total, rec, reg_s, lr_s, raw_kl, bs)
 
             _, vjp_fn, aux = jax.vjp(two_losses, params, has_aux=True)
             (g_main,) = vjp_fn((jnp.ones(()), jnp.zeros(())))
@@ -87,8 +97,8 @@ def make_grads_fn(model, L: int = 1, grad_mode: str | None = None) -> Callable:
 
         def grads_fn(params, batch_stats, x, wu_alpha, rng):
             def total_loss(p):
-                total, rec, reg_s, lr_s, bs = forward_losses(p, batch_stats, x, wu_alpha, rng)
-                return total, (total, rec, reg_s, lr_s, bs)
+                total, rec, reg_s, lr_s, raw_kl, bs = forward_losses(p, batch_stats, x, wu_alpha, rng)
+                return total, (total, rec, reg_s, lr_s, raw_kl, bs)
 
             grads, aux = jax.grad(total_loss, has_aux=True)(params)
             return grads, aux
@@ -108,7 +118,7 @@ def make_train_step(model, tx, L: int = 1, grad_mode: str | None = None) -> Call
     # weight update)
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, x, wu_alpha, rng):
-        grads, (total, rec, reg_s, lr_s, new_bs) = grads_fn(
+        grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
             state.params, state.batch_stats, x, wu_alpha, rng
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
@@ -119,7 +129,7 @@ def make_train_step(model, tx, L: int = 1, grad_mode: str | None = None) -> Call
             opt_state=new_opt_state,
             step=state.step + 1,
         )
-        metrics = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+        metrics = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s, "raw_kl": raw_kl}
         return new_state, metrics
 
     return train_step
