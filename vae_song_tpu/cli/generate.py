@@ -12,7 +12,6 @@ import os
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from vae_song_tpu.config import load_config
 from vae_song_tpu.models import build_model

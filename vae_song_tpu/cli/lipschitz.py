@@ -22,12 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from vae_song_tpu import analysis
-from vae_song_tpu.data.pipeline import ArrayDataset, iterate_batches
+from vae_song_tpu.data.pipeline import ArrayDataset
 from vae_song_tpu.data.synthetic import generate_simple_gaussian_mixture
 from vae_song_tpu.models import LRVAE, LIDVAE
-from vae_song_tpu.ops.warmup import warmup_alpha
 from vae_song_tpu.train.state import TrainState, make_optimizer
-from vae_song_tpu.train.steps import make_train_step, make_apply_fns
+from vae_song_tpu.train.steps import make_apply_fns
 from vae_song_tpu.train.loop import init_model
 from vae_song_tpu.train.loggers import create_experiment_logger
 from vae_song_tpu import viz

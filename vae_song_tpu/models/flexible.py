@@ -16,7 +16,7 @@ in_features == in_channel after a Flatten, which crashes for any image
 input; our MLP 2-D encoder takes the flattened feature count.
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

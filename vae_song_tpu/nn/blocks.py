@@ -10,8 +10,6 @@ updates the running ones, mirroring torch BN semantics with
 momentum=0.1 -> flax momentum=0.9, eps=1e-5).
 """
 
-from typing import Sequence
-
 import jax.numpy as jnp
 import flax.linen as nn
 

@@ -13,8 +13,6 @@ flash path when the backend is TPU and shapes satisfy the kernel's
 tiling constraints; otherwise falls back to XLA einsum attention.
 """
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp

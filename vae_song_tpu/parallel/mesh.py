@@ -17,12 +17,10 @@ else, i.e. DP-over-n of global batch B matches a single-device run of
 batch B/n scaled — the standard DDP convention.
 """
 
-import functools
 from typing import Callable
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from vae_song_tpu.train.state import TrainState

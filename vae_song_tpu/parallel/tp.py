@@ -17,7 +17,6 @@ shardings — the model code is unchanged.
 from typing import Any
 
 import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from vae_song_tpu.train.state import TrainState

@@ -21,7 +21,7 @@ matching main.py:282-283.
 """
 
 import functools
-from typing import Any, Callable
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
