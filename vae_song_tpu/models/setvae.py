@@ -54,33 +54,53 @@ class TransformerEncoderLayer(nn.Module):
 class TransformerDecoderLayer(nn.Module):
     """torch nn.TransformerDecoderLayer: self-attn, cross-attn, FFN,
     with dropout at the torch positions. The cross-attention to a
-    single latent memory token stays on XLA (length-1 kv)."""
+    single latent memory token stays on XLA (length-1 kv).
+
+    Exposed as two halves (self_attn_block / cross_ffn_block) so the
+    set decoder can run its FIRST layer's self-attention once on the
+    batch-constant query embeddings instead of B times.
+    """
 
     d_model: int
     num_heads: int
     ff_dim: int
     dropout_rate: float = 0.0
 
-    @nn.compact
-    def __call__(self, tgt, memory, train: bool = False):
+    def setup(self):
+        self.self_attn = MultiHeadAttention(
+            num_heads=self.num_heads, d_model=self.d_model,
+            dropout_rate=self.dropout_rate,
+        )
+        self.cross_attn = MultiHeadAttention(
+            num_heads=self.num_heads, d_model=self.d_model,
+            dropout_rate=self.dropout_rate,
+        )
+        self.norm1 = nn.LayerNorm(epsilon=1e-5)
+        self.norm2 = nn.LayerNorm(epsilon=1e-5)
+        self.norm3 = nn.LayerNorm(epsilon=1e-5)
+        self.ff_up = Dense(self.ff_dim)
+        self.ff_down = Dense(self.d_model)
+        self.drop = nn.Dropout(self.dropout_rate)
+
+    def self_attn_block(self, tgt, train: bool = False):
         det = not train
-        sa = MultiHeadAttention(
-            num_heads=self.num_heads, d_model=self.d_model,
-            dropout_rate=self.dropout_rate,
-        )(tgt, tgt, train)
-        sa = nn.Dropout(self.dropout_rate)(sa, deterministic=det)
-        tgt = nn.LayerNorm(epsilon=1e-5)(tgt + sa)
-        ca = MultiHeadAttention(
-            num_heads=self.num_heads, d_model=self.d_model,
-            dropout_rate=self.dropout_rate,
-        )(tgt, memory, train)
-        ca = nn.Dropout(self.dropout_rate)(ca, deterministic=det)
-        tgt = nn.LayerNorm(epsilon=1e-5)(tgt + ca)
-        ff = Dense(self.ff_dim)(tgt)
-        ff = nn.Dropout(self.dropout_rate)(nn.relu(ff), deterministic=det)
-        ff = Dense(self.d_model)(ff)
-        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
-        return nn.LayerNorm(epsilon=1e-5)(tgt + ff)
+        sa = self.self_attn(tgt, tgt, train)
+        sa = self.drop(sa, deterministic=det)
+        return self.norm1(tgt + sa)
+
+    def cross_ffn_block(self, tgt, memory, train: bool = False):
+        det = not train
+        ca = self.cross_attn(tgt, memory, train)
+        ca = self.drop(ca, deterministic=det)
+        tgt = self.norm2(tgt + ca)
+        ff = self.ff_up(tgt)
+        ff = self.drop(nn.relu(ff), deterministic=det)
+        ff = self.ff_down(ff)
+        ff = self.drop(ff, deterministic=det)
+        return self.norm3(tgt + ff)
+
+    def __call__(self, tgt, memory, train: bool = False):
+        return self.cross_ffn_block(self.self_attn_block(tgt, train), memory, train)
 
 
 class SetEncoder(nn.Module):
@@ -175,11 +195,26 @@ class SetDecoderAttn(nn.Module):
             (self.num_points, self.d_model),
         )
         memory = Dense(self.d_model)(z)[:, None, :]  # [B, 1, d_model]
-        x = jnp.broadcast_to(queries[None], (b, self.num_points, self.d_model))
-        for _ in range(self.num_layers):
-            x = TransformerDecoderLayer(
+        layers = [
+            TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate
-            )(x, memory, train)
+            )
+            for _ in range(self.num_layers)
+        ]
+        x = queries[None]  # [1, N, d_model] — batch-constant
+        for i, layer in enumerate(layers):
+            if i == 0 and self.dropout_rate == 0.0:
+                # the first self-attention sees only the (batch-constant)
+                # query embeddings: compute it ONCE and broadcast, saving
+                # a full B x N^2 attention (algebraically identical;
+                # per-sample dropout masks would differ, hence the gate)
+                x = layer.self_attn_block(x, train)
+                x = jnp.broadcast_to(x, (b, self.num_points, self.d_model))
+                x = layer.cross_ffn_block(x, memory, train)
+            else:
+                if x.shape[0] != b:
+                    x = jnp.broadcast_to(x, (b, self.num_points, self.d_model))
+                x = layer(x, memory, train)
         return Dense(3)(x)
 
 

@@ -29,7 +29,12 @@ def _spec_for(path: tuple, leaf) -> P:
     joined = "/".join(str(n) for n in names)
     shape = leaf.shape
 
-    if "MultiHeadDotProductAttention" in joined or "MultiHeadAttention" in joined:
+    is_attention = any(
+        tok in joined
+        for tok in ("MultiHeadDotProductAttention", "MultiHeadAttention",
+                    "self_attn", "cross_attn")
+    )
+    if is_attention:
         if any(k in joined for k in ("query", "key", "value")):
             if "kernel" in joined and len(shape) == 3:
                 return P(None, "model", None)   # [d_model, heads, head_dim]
