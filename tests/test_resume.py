@@ -47,6 +47,37 @@ def test_checkpoint_and_resume(tmp_path):
     assert int(state2.step) > int(2 * (10000 // 512))  # > 2 epochs of steps
 
 
+def test_kl_adaptive_resume_matches_continuous(tmp_path):
+    """Resume restores wu_alpha/last_kl from the checkpoint extra and the
+    per-epoch fold_in RNG keys make the resumed trajectory identical to
+    the continuous one — including the KL-history-dependent kl_adaptive
+    warmup (model.py:37-63 semantics under resume)."""
+    import pickle
+
+    cont_state, _ = train_and_test(
+        _model(), wu_strat="kl_adaptive", checkpoint_every=2,
+        **_common(tmp_path / "a"),
+    )
+    ckpts = []
+    for root, _d, files in os.walk(str(tmp_path / "a")):
+        ckpts += [os.path.join(root, f) for f in files if f.startswith("ckpt_")]
+    ckpt = sorted(ckpts)[0]  # ckpt_1 — end of epoch index 1
+
+    with open(ckpt, "rb") as f:
+        extra = pickle.load(f)["extra"]
+    assert "wu_alpha" in extra and "last_kl" in extra
+    assert extra["last_kl"] > 0.0  # KL history actually recorded
+
+    resumed_state, _ = train_and_test(
+        _model(), wu_strat="kl_adaptive", resume_from=ckpt,
+        **_common(tmp_path / "b"),
+    )
+    cont = jax.tree.leaves(cont_state.params)
+    res = jax.tree.leaves(resumed_state.params)
+    for c, r in zip(cont, res):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(r), rtol=1e-6, atol=1e-7)
+
+
 def test_data_parallel_training(tmp_path):
     assert len(jax.devices()) == 8
     state, summary = train_and_test(

@@ -110,7 +110,6 @@ def train_and_test(
         raise ValueError("Dataset smaller than one batch")
 
     rng = jax.random.PRNGKey(seed)
-    np_rng = np.random.default_rng(seed)
     params, batch_stats = init_model(
         model, train_ds.X[:batch_size], seed=seed, L=num_mc_samples
     )
@@ -129,8 +128,9 @@ def train_and_test(
         state = state.replace(params=p, batch_stats=bs if bs is not None else state.batch_stats)
 
     start_epoch = 0
+    resume_extra = {}
     if resume_from is not None:
-        state, ckpt_epoch, _extra = ckpt_lib.load_checkpoint(resume_from, state)
+        state, ckpt_epoch, resume_extra = ckpt_lib.load_checkpoint(resume_from, state)
         start_epoch = ckpt_epoch + 1
 
     name = synth_run_name(model)
@@ -228,10 +228,17 @@ def train_and_test(
     wu_alpha = 0.0
     last_kl = 0.0
     if has_warmup and start_epoch > 0:
-        # replay the (deterministic) warmup schedule over skipped epochs;
-        # kl_adaptive resumes from alpha(kl=0) — recorded limitation
-        for e in range(start_epoch):
-            wu_alpha = warmup_alpha(wu_alpha, e, epochs, wu_strat, last_kl_loss=last_kl)
+        if "wu_alpha" in resume_extra:
+            # restored warmup state: exact continuation, including the
+            # KL-history-dependent kl_adaptive strategy (model.py:37-63
+            # semantics under resume)
+            wu_alpha = float(resume_extra["wu_alpha"])
+            last_kl = float(resume_extra.get("last_kl", 0.0))
+        else:
+            # legacy checkpoint without warmup state: replay the
+            # deterministic schedules (kl_adaptive degrades to alpha(kl=0))
+            for e in range(start_epoch):
+                wu_alpha = warmup_alpha(wu_alpha, e, epochs, wu_strat, last_kl_loss=last_kl)
     is_set_model = getattr(model, "data_type", None) == "set"
 
     t_start = time.time()
@@ -246,7 +253,11 @@ def train_and_test(
             explog.log_alpha_value(epoch, wu_alpha)
 
         tot = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
-        rng, ep_key, aug_key = jax.random.split(rng, 3)
+        # resume-invariant per-epoch randomness: keys are folded from the
+        # base key by epoch index (not threaded sequentially), so a run
+        # resumed at epoch k replays exactly the continuous trajectory
+        ep_key, aug_key, ev_key = jax.random.split(jax.random.fold_in(rng, epoch), 3)
+        ep_np_rng = np.random.default_rng([seed, epoch])
         # hoist per-step device constants out of the hot loop: scalar H2D
         # transfers and fold_in dispatches cost ~ms each on tunneled TPUs
         wu_dev = jnp.float32(wu_alpha)
@@ -273,7 +284,7 @@ def train_and_test(
             acc = None
             for i, (x, _y) in enumerate(
                 iterate_batches(
-                    train_ds, batch_size, rng=np_rng,
+                    train_ds, batch_size, rng=ep_np_rng,
                     augment=augment, augment_key=aug_key,
                 )
             ):
@@ -301,20 +312,19 @@ def train_and_test(
         # ---- eval every epoch (main.py:303) ----
         last_epoch = epoch == epochs - 1
         ev = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
-        rng, ev_key = jax.random.split(rng)
         n_test_batches = num_batches(test_ds, batch_size)
         if eval_epoch_fit is not None:
             em = jax.device_get(eval_epoch_fit(state, test_X_batches, wu_dev, ev_key))
             eval_means = {k: float(v) for k, v in em.items()}
             if last_epoch:
-                sel = np_rng.permutation(len(test_ds))[:batch_size]
+                sel = ep_np_rng.permutation(len(test_ds))[:batch_size]
                 last_eval_batch = (jnp.asarray(test_ds.X[sel]), test_ds.y[sel])
         else:
             ev_keys = jax.random.split(ev_key, max(n_test_batches, 1))
             ev_acc = None
             n_eval = 0
             for i, (x, yb) in enumerate(
-                iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=np_rng)
+                iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=ep_np_rng)
             ):
                 m = eval_step(state, x, wu_dev, ev_keys[i])
                 ev_acc = m if ev_acc is None else jax.tree.map(jnp.add, ev_acc, m)
@@ -337,7 +347,8 @@ def train_and_test(
 
         if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
             ckpt_lib.save_checkpoint(
-                os.path.join(result_dir, "params", f"ckpt_{epoch}.pkl"), state, epoch
+                os.path.join(result_dir, "params", f"ckpt_{epoch}.pkl"), state, epoch,
+                extra={"wu_alpha": float(wu_alpha), "last_kl": float(last_kl)},
             )
 
         if last_epoch:
