@@ -28,10 +28,29 @@ BATCH = 256
 BENCH_STEPS = 30
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 REFERENCE_PATH = "/root/reference"
+# TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. MFU below is
+# analytic-FLOPs / wall-clock / this peak; the conv-VAE step is tiny and
+# dispatch-latency-bound (expected MFU << 1%), the B=64/N=2048 SetVAE
+# attention step is the compute-bound entry. FLOPs come from XLA's own
+# cost analysis of the compiled train step (fwd+bwd+optimizer), which
+# excludes the Pallas chamfer custom call (~3 GFLOP, <1% of the step).
+V5E_PEAK_FLOPS = 197e12
 
 
 def log(*args):
     print(*args, file=sys.stderr, flush=True)
+
+
+def _compiled_flops(jitted, *args):
+    """Analytic FLOPs of the compiled program via XLA cost analysis."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, list):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception as e:
+        log(f"cost_analysis unavailable: {e}")
+        return None
 
 
 def measure_tpu_throughput():
@@ -83,7 +102,58 @@ def measure_tpu_throughput():
         best = min(best, dt)
     sps = BATCH * BENCH_STEPS / best
     log(f"tpu best: {BENCH_STEPS} steps in {best:.3f}s -> {sps:.0f} samples/sec")
-    return sps
+    flops = _compiled_flops(step, state, x, zero, keys[0])
+    mfu = (flops * BENCH_STEPS / best / V5E_PEAK_FLOPS) if flops else -1.0
+    if flops:
+        log(f"conv-VAE step: {flops/1e9:.2f} GFLOP -> MFU {mfu*100:.3f}% of 197 TFLOP/s bf16 peak")
+    return sps, mfu
+
+
+def measure_setvae_step():
+    """Compute-bound entry: SetVAE attention train step at the shipped
+    ShapeNet config shapes (config_shapenet_setvae.yaml: B=64, N=2048,
+    d_model=256, 4 heads, 2+2 layers, ff 512, latent 128)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vae_song_tpu.models import SetVAE
+    from vae_song_tpu.train.state import TrainState, make_optimizer
+    from vae_song_tpu.train.steps import make_train_step
+    from vae_song_tpu.train.loop import init_model
+
+    B, N = 64, 2048
+    model = SetVAE(latent_channel=128, num_points=N, d_model=256,
+                   num_heads=4, ff_dim=512, beta=0.001)
+    x_host = np.random.default_rng(0).normal(size=(B, N, 3)).astype(np.float32)
+    params, bs = init_model(model, x_host[:2], seed=0)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(params, bs, tx)
+    step = make_train_step(model, tx)
+
+    x = jnp.asarray(x_host)
+    keys = jax.random.split(jax.random.PRNGKey(1), 32)
+    zero = jnp.float32(0.0)
+
+    t0 = time.time()
+    state, m = step(state, x, zero, keys[-1])
+    _ = float(m["loss"])
+    log(f"setvae compile+first step: {time.time()-t0:.1f}s")
+
+    inner = 5
+    best = float("inf")
+    for trial in range(4):
+        t0 = time.time()
+        for i in range(inner):
+            state, m = step(state, x, zero, keys[trial * inner + i])
+        _ = float(m["loss"])  # close the measurement with a real D2H fetch
+        best = min(best, time.time() - t0)
+    ms = best / inner * 1000
+    flops = _compiled_flops(step, state, x, zero, keys[0])
+    mfu = (flops / (best / inner) / V5E_PEAK_FLOPS) if flops else -1.0
+    log(f"setvae B={B} N={N}: {ms:.1f} ms/step, "
+        f"{(flops or 0)/1e12:.3f} TFLOP/step -> MFU {mfu*100:.1f}%")
+    return ms, mfu
 
 
 def measure_torch_baseline():
@@ -134,7 +204,8 @@ def measure_torch_baseline():
 
 
 def main():
-    value = measure_tpu_throughput()
+    value, mfu = measure_tpu_throughput()
+    setvae_ms, setvae_mfu = measure_setvae_step()
     baseline = measure_torch_baseline()
     vs = (value / baseline) if baseline else -1.0
     print(json.dumps({
@@ -142,6 +213,10 @@ def main():
         "value": round(value, 1),
         "unit": "samples/sec/chip",
         "vs_baseline": round(vs, 2),
+        "mfu": round(mfu, 5),
+        "setvae_ms_per_step": round(setvae_ms, 1),
+        "setvae_mfu": round(setvae_mfu, 4),
+        "v5e_peak_tflops_bf16": 197,
     }))
 
 

@@ -25,6 +25,16 @@ def test_generation_only_mode(tmp_path):
     )
     pngs = glob.glob(str(tmp_path / "results/res_gen/*/generation/*.png"))
     assert len(pngs) == 50 * 4  # SAMPLE_ITERATION x batch (main.py:326)
-    # unified CSV row written with fid fallback
+    # unified CSV row carries a REAL (finite) fid computed with the local
+    # seeded random-conv extractor (main.py:349-360, 390-393 analogue)
     logs = glob.glob(str(tmp_path / "log/*.csv"))
-    assert logs and "fid" in open(logs[0]).read()
+    assert logs
+    import csv
+
+    with open(logs[0]) as f:
+        rows = list(csv.DictReader(f))
+    assert rows and "fid" in rows[0]
+    import math
+
+    fid = float(rows[0]["fid"])
+    assert math.isfinite(fid) and fid > 0.0  # real score, not the -1 sentinel

@@ -49,3 +49,49 @@ def fid_score(extractor, real_batches, fake_batches) -> float:
     fr = np.concatenate([np.asarray(extractor(b)) for b in real_batches])
     ff = np.concatenate([np.asarray(extractor(b)) for b in fake_batches])
     return fid_from_features(fr, ff)
+
+
+def make_conv_feature_extractor(image_shape, seed: int = 0, feature_dim: int = 64):
+    """Fixed seeded random-conv embedding for FID on a no-egress box.
+
+    This is NOT InceptionV3 (whose weights cannot be downloaded here) —
+    it is an untrained, deterministically-initialized 3-layer stride-2
+    CNN with LeakyReLU, global mean pool, and a random linear projection.
+    Random-CNN features are a standard FID proxy when Inception is
+    unavailable; scores are comparable between runs of this framework
+    (same seed -> same embedding) but not to Inception-FID numbers.
+
+    image_shape: (H, W, C). Returns a jitted callable [B,H,W,C] -> [B,D].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    _h, _w, c = image_shape
+    chans = [c, 8, 16, 32]
+    keys = jax.random.split(jax.random.PRNGKey(seed), len(chans))
+    convs = [
+        np.asarray(
+            jax.random.normal(keys[i], (3, 3, chans[i], chans[i + 1]))
+            * np.sqrt(2.0 / (9 * chans[i]), dtype=np.float32)
+        )
+        for i in range(len(chans) - 1)
+    ]
+    proj = np.asarray(
+        jax.random.normal(keys[-1], (chans[-1], feature_dim))
+        * np.sqrt(1.0 / chans[-1], dtype=np.float32)
+    )
+
+    @jax.jit
+    def extract(x):
+        h = jnp.asarray(x, jnp.float32)
+        if h.ndim == 3:
+            h = h[..., None]
+        for w in convs:
+            h = jax.lax.conv_general_dilated(
+                h, jnp.asarray(w), (2, 2), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            h = jax.nn.leaky_relu(h, 0.2)
+        return h.mean(axis=(1, 2)) @ jnp.asarray(proj)
+
+    return extract

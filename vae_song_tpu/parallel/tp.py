@@ -23,53 +23,79 @@ from vae_song_tpu.train.state import TrainState
 from vae_song_tpu.train.steps import make_grads_fn
 
 
-def _spec_for(path: tuple, leaf) -> P:
-    """Sharding rule by parameter path/shape."""
-    names = [getattr(p, "key", getattr(p, "name", str(p))) for p in path]
-    joined = "/".join(str(n) for n in names)
-    shape = leaf.shape
+_ATTN_ROLES = ("query", "key", "value")
+_LAYER_TOKENS = ("TransformerEncoderLayer", "TransformerDecoderLayer")
 
-    is_attention = any(
-        tok in joined
-        for tok in ("MultiHeadDotProductAttention", "MultiHeadAttention",
-                    "self_attn", "cross_attn")
-    )
-    if is_attention:
-        if any(k in joined for k in ("query", "key", "value")):
-            if "kernel" in joined and len(shape) == 3:
-                return P(None, "model", None)   # [d_model, heads, head_dim]
-            if "kernel" in joined and len(shape) == 2:
-                return P(None, "model")          # [d_model, d_model] cols = heads
-            if "bias" in joined and len(shape) == 2:
-                return P("model", None)          # [heads, head_dim]
-            if "bias" in joined and len(shape) == 1:
-                return P("model")
-        if "out" in joined:
-            if "kernel" in joined and len(shape) == 3:
-                return P("model", None, None)    # [heads, head_dim, d_model]
-            if "kernel" in joined and len(shape) == 2:
-                return P("model", None)          # [d_model, d_model] rows = heads
-            return P()                            # out bias [d_model] replicated
-    # FFN inside transformer layers. The wrapper Dense modules are named
-    # Dense_0 (up, d->ff) and Dense_1 (down, ff->d) at the LAYER level,
-    # but each wraps an inner nn.Dense auto-named Dense_0 — so the down
-    # path 'Dense_1/Dense_0/kernel' contains BOTH tokens. Check the
-    # down-projection first.
-    if "TransformerEncoderLayer" in joined or "TransformerDecoderLayer" in joined:
-        if "Dense_1/" in joined:
-            if "kernel" in joined:
-                return P("model", None)   # [ff, d_model] rows sharded
-            return P()                     # down bias [d_model] replicated
-        if "Dense_0/" in joined:
-            if "kernel" in joined:
-                return P(None, "model")   # [d_model, ff] cols sharded
-            return P("model")              # up bias [ff] sharded
+
+def _dense_specs(module_name: str, kernel_shape, in_transformer_layer: bool):
+    """Structural sharding rule for one Dense-like module (a dict that
+    directly holds a 'kernel'). Classification is by the attention role
+    name and the KERNEL SHAPE — never by auto-generated flax names like
+    Dense_0/Dense_1, so renaming a submodule cannot silently flip an FFN
+    projection's layout. Returns (kernel_spec, bias_spec)."""
+    if module_name in _ATTN_ROLES:
+        if len(kernel_shape) == 3:  # DenseGeneral [d_model, heads, head_dim]
+            return P(None, "model", None), P("model", None)
+        return P(None, "model"), P("model")  # [d_model, d_model] cols = heads
+    if module_name == "out":
+        if len(kernel_shape) == 3:  # [heads, head_dim, d_model]
+            return P("model", None, None), P()
+        return P("model", None), P()  # rows = heads; bias [d_model] replicated
+    if in_transformer_layer and len(kernel_shape) == 2:
+        d_in, d_out = kernel_shape
+        if d_out > d_in:  # FFN up [d_model, ff]: cols + bias sharded
+            return P(None, "model"), P("model")
+        if d_in > d_out:  # FFN down [ff, d_model]: rows sharded, bias replicated
+            return P("model", None), P()
+        # square kernel inside a layer: ambiguous -> replicate (safe)
+    return P(), P()
+
+
+def _module_specs(tree, path=()):
+    in_layer = any(tok in str(k) for k in path for tok in _LAYER_TOKENS)
+    if hasattr(tree, "items") and "kernel" in tree and not hasattr(tree["kernel"], "items"):
+        name = str(path[-1]) if path else ""
+        kspec, bspec = _dense_specs(name, tree["kernel"].shape, in_layer)
+        out = {}
+        for k, v in tree.items():
+            out[k] = kspec if k == "kernel" else (bspec if k == "bias" else P())
+        return type(tree)(out) if not isinstance(tree, dict) else out
+    if hasattr(tree, "items"):
+        out = {k: _module_specs(v, path + (k,)) for k, v in tree.items()}
+        return type(tree)(out) if not isinstance(tree, dict) else out
     return P()
 
 
-def setvae_param_specs(params) -> Any:
+def check_tp_coverage(specs) -> None:
+    """Invariant: every transformer layer must hold >=1 'model'-sharded
+    param. A refactor that renames submodules out of the structural
+    rules fails loudly here instead of silently training replicated."""
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    layers: dict = {}
+    for path, spec in flat:
+        names = [str(getattr(p, "key", getattr(p, "name", p))) for p in path]
+        idx = next(
+            (i for i, n in enumerate(names) if any(t in n for t in _LAYER_TOKENS)),
+            None,
+        )
+        if idx is not None:
+            key = "/".join(names[: idx + 1])
+            layers[key] = layers.get(key, False) or ("model" in str(spec))
+    unsharded = sorted(k for k, ok in layers.items() if not ok)
+    if unsharded:
+        raise ValueError(
+            "TP spec mapping produced zero 'model'-sharded params for "
+            f"transformer layer(s) {unsharded}; the structural rules in "
+            "parallel/tp.py no longer match this parameter tree"
+        )
+
+
+def setvae_param_specs(params, check: bool = True) -> Any:
     """PartitionSpec pytree for a SetVAE/SetLRVAE params tree."""
-    return jax.tree_util.tree_map_with_path(_spec_for, params)
+    specs = _module_specs(params)
+    if check:
+        check_tp_coverage(specs)
+    return specs
 
 
 def state_shardings(state: TrainState, mesh: Mesh):

@@ -24,22 +24,28 @@ from vae_song_tpu.train import loggers, checkpoint as ckpt_lib
 from vae_song_tpu import viz
 
 
-def _maybe_fid(gen_dir: str, dataset_name: str):
-    """FID via the external `pytorch_fid` package if installed
-    (main.py:349-360); otherwise 'None', like the reference prints when
-    the package is missing."""
-    try:
-        import pytorch_fid  # noqa: F401
-        import subprocess
+def _compute_fid(test_ds, generated: np.ndarray, chunk: int = 256):
+    """FID between the test set and generated samples (main.py:349-360
+    analogue), computed in-process with a fixed seeded random-conv
+    feature embedding — NOT InceptionV3, whose weights cannot be
+    fetched on a no-egress box; scores are self-consistent across runs
+    of this framework but not comparable to Inception-FID numbers.
 
-        out = subprocess.run(
-            ["python", "-m", "pytorch_fid", f"../{dataset_name}/", gen_dir],
-            capture_output=True, text=True, timeout=600,
-        )
-        return out.stdout.strip()
-    except Exception:
-        print("Please install `pytorch_fid` to show FID score")
-        return "None"
+    The reference shells out to `pytorch_fid` against a `../<dataset>/`
+    directory that only exists in its author's checkout; that path is
+    dropped here (see README quirks)."""
+    from vae_song_tpu.ops import fid as fid_lib
+
+    real = np.asarray(test_ds.X[:5000], np.float32)
+    extractor = fid_lib.make_conv_feature_extractor(real.shape[1:], seed=0)
+
+    def chunks(a):
+        for i in range(0, len(a), chunk):
+            yield a[i : i + chunk]
+
+    score = fid_lib.fid_score(extractor, chunks(real), chunks(generated))
+    print(f"FID (seeded random-conv features, non-Inception): {score:.4f}")
+    return score
 
 
 def synth_run_name(model, alpha=None) -> str:
@@ -377,10 +383,12 @@ def train_and_test(
         gen_dir = os.path.join(result_dir, "generation")
         os.makedirs(gen_dir, exist_ok=True)
         sample_iteration = 50
+        gen_all = []
         for i in range(sample_iteration):
             rng, gk = jax.random.split(rng)
             z = jax.random.normal(gk, (batch_size, model.latent_channel))
             imgs = np.clip(np.asarray(decode_fn(state, z)), 0, 1)
+            gen_all.append(imgs)
             for j in range(batch_size):
                 viz.save_image_grid(
                     imgs[j : j + 1],
@@ -388,7 +396,8 @@ def train_and_test(
                     nrow=1,
                     normalize=True,
                 )
-        fid = _maybe_fid(gen_dir, dataset_name)
+        if data_type == "2d":
+            fid = _compute_fid(test_ds, np.concatenate(gen_all))
 
     # ---- final metrics on one 50-sample batch (main.py:363-372) ----
     rng, fin_key = jax.random.split(rng)
