@@ -1,4 +1,11 @@
-"""CelebA / Omniglot folder loaders against synthetic on-disk trees."""
+"""CelebA / Omniglot folder loaders against synthetic on-disk trees.
+
+The fixture images use the REAL dataset dimensions — CelebA aligned
+JPEGs are natively 178x218 (W x H; PIL size (218, 178) as (H, W) below)
+and Omniglot PNGs are 105x105 — so the full crop/resize pipeline
+(CelebA: CenterCrop(148) -> 64x64, dataset.py:484-489; Omniglot:
+resize 28, dataset.py:516-520) runs on true input shapes; only the
+pixel content is synthetic (no egress on this box)."""
 
 import os
 

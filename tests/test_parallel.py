@@ -126,3 +126,36 @@ def test_dp_pmean_is_mean_of_shard_grads(key):
     np.testing.assert_allclose(
         np.asarray(losses).ravel(), np.asarray(eager_losses), rtol=5e-3
     )
+
+
+def test_multihost_init_composes_with_mesh():
+    """`init_multihost` (jax.distributed, single-process coordinator — the
+    most a one-host box can exercise) composes with make_mesh + a sharded
+    computation. Runs in a subprocess because distributed state is global."""
+    import os
+    import subprocess
+    import sys
+
+    code = (
+        'import jax\n'
+        'jax.config.update("jax_platforms", "cpu")\n'
+        'from vae_song_tpu.parallel import init_multihost, make_mesh\n'
+        'pid, nproc = init_multihost("localhost:12421", 1, 0)\n'
+        'assert (pid, nproc) == (0, 1), (pid, nproc)\n'
+        'import jax.numpy as jnp\n'
+        'from jax.sharding import NamedSharding, PartitionSpec as P\n'
+        'mesh = make_mesh()\n'
+        'assert mesh.shape["data"] == 8, mesh.shape\n'
+        'x = jax.device_put(jnp.arange(8.0), NamedSharding(mesh, P("data")))\n'
+        'assert float(jax.jit(lambda v: v.sum())(x)) == 28.0\n'
+        'print("MULTIHOST-OK")\n'
+    )
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=300, env=env,
+    )
+    assert "MULTIHOST-OK" in out.stdout, out.stdout + out.stderr

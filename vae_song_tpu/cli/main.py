@@ -82,7 +82,17 @@ def main():
                         help="shard batches over all devices (shard_map DP)")
     parser.add_argument("--checkpoint_every", type=int, default=None,
                         help="save a resumable checkpoint every N epochs")
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed before building the "
+                             "mesh (TPU pod / multi-host DCN launches; "
+                             "coordinator auto-detected from the cluster env)")
     args = parser.parse_args()
+    if args.multihost:
+        from vae_song_tpu.parallel import init_multihost
+
+        pid, nproc = init_multihost()
+        print(f"multihost: process {pid}/{nproc}, "
+              f"{__import__('jax').device_count()} global devices")
     run_experiment(args.config, args.output_root, args.seed, args.fake_data,
                    args.profile_dir, args.resume_from, args.data_parallel,
                    args.checkpoint_every)

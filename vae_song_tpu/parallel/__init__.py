@@ -1,4 +1,5 @@
 from vae_song_tpu.parallel.mesh import (
+    init_multihost,
     make_mesh,
     replicate_state,
     shard_batch,
@@ -7,6 +8,7 @@ from vae_song_tpu.parallel.mesh import (
 )
 
 __all__ = [
+    "init_multihost",
     "make_mesh",
     "replicate_state",
     "shard_batch",

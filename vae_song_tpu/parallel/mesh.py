@@ -27,6 +27,32 @@ from vae_song_tpu.train.state import TrainState
 from vae_song_tpu.train.steps import make_grads_fn
 
 
+def init_multihost(coordinator_address: str | None = None,
+                   num_processes: int | None = None,
+                   process_id: int | None = None) -> tuple[int, int]:
+    """Multi-host (DCN) entry point — call BEFORE any other jax API.
+
+    Thin guard over `jax.distributed.initialize`: on TPU pods the
+    coordinator/process parameters are auto-detected from the cluster
+    environment, so all-None arguments are the normal pod usage. After
+    this, `jax.devices()` returns the GLOBAL device list, so `make_mesh`
+    (and every DP/TP step built on it) spans hosts transparently —
+    shardings lay the 'data'/'model' axes over ICI within a slice and
+    XLA routes any cross-slice collectives over DCN.
+
+    The reference has no multi-host story at all (SURVEY.md §2.5 — its
+    sweep scripts run independent processes, which `parallel/sweep.py`
+    covers); this completes the tpu-native framework claim. Returns
+    (process_index, process_count).
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return jax.process_index(), jax.process_count()
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh:
     """Build a ('data', 'model') mesh. Defaults to all devices on the
     data axis."""
