@@ -136,3 +136,49 @@ def test_grad_clip_value_and_norm():
     # both produce finite updates; the norm-clipped one acts on g/5
     assert np.isfinite(np.asarray(u_n["w"])).all()
     assert np.isfinite(np.asarray(u_v["w"])).all()
+
+
+def test_multistep_equals_k_single_steps():
+    """make_multistep_train_step(K) from a device-resident dataset is
+    bit-equivalent to K make_train_step calls on the same batches/keys."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vae_song_tpu.models import VanillaVAE
+    from vae_song_tpu.train.loop import init_model
+    from vae_song_tpu.train.state import TrainState, make_optimizer
+    from vae_song_tpu.train.steps import make_train_step, make_multistep_train_step
+
+    model = VanillaVAE.for_dataset(
+        "mnist", hidden_channels=(2, 2), encoder_type="conv", decoder_type="mlp",
+        beta=0.01,
+    )
+    K, B = 3, 4
+    X = np.random.default_rng(0).uniform(size=(K * B, 28, 28, 1)).astype(np.float32)
+    params, bs = init_model(model, X[:B], seed=0)
+    tx = make_optimizer(lr=1e-3)
+    wu = jnp.float32(0.0)
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    idx = np.arange(K * B, dtype=np.int32).reshape(K, B)
+
+    # two independent state copies (steps donate their input state)
+    fresh = lambda: TrainState.create(
+        jax.tree.map(jnp.array, params), jax.tree.map(jnp.array, bs), tx
+    )
+    step = make_train_step(model, tx)
+    s1 = fresh()
+    losses = []
+    for i in range(K):
+        s1, m = step(s1, jnp.asarray(X[idx[i]]), wu, keys[i])
+        losses.append(float(m["loss"]))
+
+    mstep = make_multistep_train_step(model, tx, K)
+    s2, m2 = mstep(fresh(), jnp.asarray(X), jnp.asarray(idx), wu, keys, keys)
+
+    # the fused K-step program is semantically, not bitwise, identical:
+    # XLA fuses the gather+conv differently, and Adam's /sqrt(nu)
+    # amplifies ulp-level gradient differences — observed max ~3e-4 abs
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=1e-3)
+    np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-5)
+    assert int(s2.step) == K

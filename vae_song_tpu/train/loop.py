@@ -196,6 +196,26 @@ def train_and_test(
         train_step = make_train_step(model, tx, L=num_mc_samples)
         eval_step = make_eval_step(model)
 
+    # multi-step dispatch path: conv/augmented models whose dataset fits
+    # in HBM train K steps per dispatch from a device-resident array
+    # (amortizes relay dispatch latency; see make_multistep_train_step)
+    multi_step = None
+    multi_k = 1
+    if (
+        not data_parallel
+        and not use_scan
+        and getattr(model, "data_type", None) != "set"
+        and train_ds.X.nbytes < 512 * 1024 * 1024
+    ):
+        multi_k = max((k for k in range(2, 9) if steps_per_epoch % k == 0), default=1)
+        if multi_k > 1:
+            from vae_song_tpu.train.steps import make_multistep_train_step
+
+            multi_step = make_multistep_train_step(
+                model, tx, multi_k, L=num_mc_samples, augment=augment
+            )
+            train_X_multistep = jnp.asarray(train_ds.X)
+
     epoch_fit = None
     eval_epoch_fit = None
     if use_scan:
@@ -286,6 +306,29 @@ def train_and_test(
             for k in tot:
                 tot[k] = float(em_host[k])
             last_batch_raw_kl = float(em_host.get("last_raw_kl", em_host.get("raw_kl", 0.0)))
+        elif multi_step is not None:
+            # K steps per dispatch from the device-resident dataset:
+            # only [K, B] int32 indices + keys cross the host boundary
+            idx = np.arange(len(train_ds))
+            ep_np_rng.shuffle(idx)
+            nchunks = steps_per_epoch // multi_k
+            idx = idx[: steps_per_epoch * batch_size].astype(np.int32).reshape(
+                nchunks, multi_k, batch_size
+            )
+            sk = step_keys.reshape(nchunks, multi_k, *step_keys.shape[1:])
+            ak = jax.random.split(aug_key, steps_per_epoch).reshape(sk.shape)
+            acc = None
+            for c in range(nchunks):
+                state, m = multi_step(
+                    state, train_X_multistep, jnp.asarray(idx[c]), wu_dev,
+                    sk[c], ak[c],
+                )
+                acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
+            acc_host, m_host = jax.device_get((acc, m))
+            for k in tot:
+                tot[k] += float(acc_host[k])
+            nb = nchunks  # chunk metrics are already K-step means
+            last_batch_raw_kl = float(m_host["raw_kl"])
         else:
             acc = None
             for i, (x, _y) in enumerate(

@@ -135,6 +135,57 @@ def make_train_step(model, tx, L: int = 1, grad_mode: str | None = None) -> Call
     return train_step
 
 
+def make_multistep_train_step(model, tx, n_steps: int, L: int = 1,
+                              grad_mode: str | None = None,
+                              augment=None) -> Callable:
+    """K optimizer steps per dispatch, UNROLLED inside one jit program,
+    gathering batches from a device-resident dataset by index.
+
+    Rationale: on remote/tunneled TPU deployments each dispatch costs
+    ~10-20 ms of relay latency while a conv-VAE step is ~1 ms of chip
+    time; batching K steps amortizes the dispatch AND the H2D traffic
+    (only a [K, B] int32 index array crosses the wire per call). The
+    loop is a static Python unroll — NOT lax.scan/fori_loop — because
+    convolution layouts inside loop carries de-optimize on TPU (~20x,
+    see train/scan.py note); unrolled bodies keep XLA's preferred
+    layouts. Augmentation (the pipeline's jitted key,x -> x callables)
+    is fused into the same program.
+
+    step(state, X, idx, wu_alpha, rngs, aug_keys) -> (state, metrics)
+      X: [N, ...] full device-resident training array
+      idx: [K, B] int32 batch indices; rngs/aug_keys: [K] PRNG keys
+    Metrics are K-step means; raw_kl is the LAST step's (model.py:614
+    last-batch semantics for kl_adaptive warmup).
+    """
+    grads_fn = make_grads_fn(model, L, grad_mode)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, X, idx, wu_alpha, rngs, aug_keys):
+        acc = None
+        for i in range(n_steps):
+            x = X[idx[i]]
+            if augment is not None:
+                x = augment(aug_keys[i], x)
+            grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
+                state.params, state.batch_stats, x, wu_alpha, rngs[i]
+            )
+            updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+            state = state.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            )
+            m = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+            acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
+        metrics = {k: v / n_steps for k, v in acc.items()}
+        metrics["raw_kl"] = raw_kl
+        return state, metrics
+
+    return multi_step
+
+
 def make_eval_step(model, L: int = 1) -> Callable:
     """Eval step: running BN stats, no param mutation. Mirrors
     main.eval (main.py:91-172) loss accumulation semantics.
