@@ -101,15 +101,46 @@ def measure_tpu_throughput():
         log(f"trial {trial}: {BENCH_STEPS} steps in {dt:.3f}s (loss {final_loss:.3f})")
         best = min(best, dt)
     sps = BATCH * BENCH_STEPS / best
-    log(f"tpu best: {BENCH_STEPS} steps in {best:.3f}s -> {sps:.0f} samples/sec")
+    log(f"tpu single-step path: {BENCH_STEPS} steps in {best:.3f}s -> {sps:.0f} samples/sec")
     flops = _compiled_flops(step, state, x, zero, keys[0])
-    mfu = (flops * BENCH_STEPS / best / V5E_PEAK_FLOPS) if flops else -1.0
+
+    # the multi-step path train_and_test actually uses for HBM-resident
+    # datasets (K unrolled optimizer steps per dispatch, batches gathered
+    # on device) — this is the framework's real MNIST training route
+    from vae_song_tpu.train.steps import make_multistep_train_step
+
+    K = 6  # divides BENCH_STEPS: 5 dispatches per trial
+    n_disp = BENCH_STEPS // K
+    mstep = make_multistep_train_step(model, tx, K)
+    X = jnp.asarray(rng.uniform(size=(BATCH * 32, 28, 28, 1)).astype(np.float32))
+    params2, bs2 = init_model(model, x_host, seed=0)
+    state = TrainState.create(params2, bs2, tx)
+    perm = rng.permutation(BATCH * 32)[: BENCH_STEPS * BATCH].astype(np.int32)
+    idx = jnp.asarray(perm.reshape(n_disp, K, BATCH))
+    mk = jax.random.split(jax.random.PRNGKey(1), (5 + 1) * n_disp * K)
+    mkeys = mk.reshape((5 + 1, n_disp, K) + mk.shape[1:])
+    t0 = time.time()
+    state, m = mstep(state, X, idx[0], zero, mkeys[-1][0], mkeys[-1][0])
+    _ = float(m["loss"])
+    log(f"multistep K={K} compile+first dispatch: {time.time()-t0:.1f}s")
+    best_m = float("inf")
+    for trial in range(5):
+        t0 = time.time()
+        for c in range(n_disp):
+            state, m = mstep(state, X, idx[c], zero, mkeys[trial][c], mkeys[trial][c])
+        _ = float(m["loss"])  # close with a real D2H fetch
+        best_m = min(best_m, time.time() - t0)
+    sps_multi = BATCH * BENCH_STEPS / best_m
+    log(f"tpu multistep path: {BENCH_STEPS} steps in {best_m:.3f}s -> {sps_multi:.0f} samples/sec")
+
+    value, wall = (sps_multi, best_m) if sps_multi > sps else (sps, best)
+    mfu = (flops * BENCH_STEPS / wall / V5E_PEAK_FLOPS) if flops else -1.0
     if flops:
         log(f"conv-VAE step: {flops/1e9:.2f} GFLOP -> MFU {mfu*100:.3f}% of 197 TFLOP/s bf16 peak")
-    return sps, mfu
+    return value, mfu
 
 
-def measure_setvae_step():
+def measure_setvae_step(mixed_precision=False):
     """Compute-bound entry: SetVAE attention train step at the shipped
     ShapeNet config shapes (config_shapenet_setvae.yaml: B=64, N=2048,
     d_model=256, 4 heads, 2+2 layers, ff 512, latent 128)."""
@@ -124,7 +155,8 @@ def measure_setvae_step():
 
     B, N = 64, 2048
     model = SetVAE(latent_channel=128, num_points=N, d_model=256,
-                   num_heads=4, ff_dim=512, beta=0.001)
+                   num_heads=4, ff_dim=512, beta=0.001,
+                   mixed_precision=mixed_precision)
     x_host = np.random.default_rng(0).normal(size=(B, N, 3)).astype(np.float32)
     params, bs = init_model(model, x_host[:2], seed=0)
     tx = make_optimizer(lr=1e-3)
@@ -151,7 +183,8 @@ def measure_setvae_step():
     ms = best / inner * 1000
     flops = _compiled_flops(step, state, x, zero, keys[0])
     mfu = (flops / (best / inner) / V5E_PEAK_FLOPS) if flops else -1.0
-    log(f"setvae B={B} N={N}: {ms:.1f} ms/step, "
+    tag = "bf16" if mixed_precision else "f32-residual"
+    log(f"setvae[{tag}] B={B} N={N}: {ms:.1f} ms/step, "
         f"{(flops or 0)/1e12:.3f} TFLOP/step -> MFU {mfu*100:.1f}%")
     return ms, mfu
 
@@ -206,6 +239,7 @@ def measure_torch_baseline():
 def main():
     value, mfu = measure_tpu_throughput()
     setvae_ms, setvae_mfu = measure_setvae_step()
+    setvae_bf16_ms, setvae_bf16_mfu = measure_setvae_step(mixed_precision=True)
     baseline = measure_torch_baseline()
     vs = (value / baseline) if baseline else -1.0
     print(json.dumps({
@@ -216,6 +250,8 @@ def main():
         "mfu": round(mfu, 5),
         "setvae_ms_per_step": round(setvae_ms, 1),
         "setvae_mfu": round(setvae_mfu, 4),
+        "setvae_bf16_ms_per_step": round(setvae_bf16_ms, 1),
+        "setvae_bf16_mfu": round(setvae_bf16_mfu, 4),
         "v5e_peak_tflops_bf16": 197,
     }))
 

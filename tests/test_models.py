@@ -141,3 +141,32 @@ def test_setlrvae_latent_recon_path(key):
     assert outs[4] is not None and outs[4].shape == (2, 8)
     total, rec, reg, lr = m.loss(pts, *outs, wu_alpha=1.0)
     assert float(lr) > 0
+
+
+def test_setvae_mixed_precision_trains(key):
+    """mixed_precision=True runs all transformer matmuls in bf16 while
+    params stay f32; one train step must stay finite and close to the
+    f32 step's loss."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from vae_song_tpu.models import SetVAE
+    from vae_song_tpu.train.loop import init_model
+    from vae_song_tpu.train.state import TrainState, make_optimizer
+    from vae_song_tpu.train.steps import make_train_step
+
+    pts = np.random.default_rng(0).normal(size=(4, 32, 3)).astype(np.float32)
+    losses = {}
+    for mp_flag in (False, True):
+        m = SetVAE(latent_channel=8, num_points=32, d_model=16, num_heads=2,
+                   ff_dim=32, beta=0.1, mixed_precision=mp_flag)
+        params, bs = init_model(m, pts, seed=0)
+        assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+        tx = make_optimizer(lr=1e-3)
+        state = TrainState.create(params, bs, tx)
+        step = make_train_step(m, tx)
+        state, metrics = step(state, jnp.asarray(pts), jnp.float32(0.0), key)
+        losses[mp_flag] = float(metrics["loss"])
+        assert np.isfinite(losses[mp_flag])
+    # same init => bf16 compute stays within ~1% of the f32 loss
+    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-2)

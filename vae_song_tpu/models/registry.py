@@ -78,6 +78,7 @@ def build_model(
             num_decoder_layers=mp.get("num_decoder_layers", 2),
             ff_dim=mp.get("ff_dim", 512),
             attn_dropout=mp.get("attn_dropout", 0.0),
+            mixed_precision=mp.get("mixed_precision", False),
         )
         if exp_type == "setlrvae":
             return SetLRVAE(alpha=alpha, **kwargs)

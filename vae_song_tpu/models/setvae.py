@@ -34,19 +34,20 @@ class TransformerEncoderLayer(nn.Module):
     num_heads: int
     ff_dim: int
     dropout_rate: float = 0.0
+    compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         det = not train
         attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
-            dropout_rate=self.dropout_rate,
+            dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
         )(x, x, train)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
-        ff = Dense(self.ff_dim)(x)
+        ff = Dense(self.ff_dim, dtype=self.compute_dtype)(x)
         ff = nn.Dropout(self.dropout_rate)(nn.relu(ff), deterministic=det)
-        ff = Dense(self.d_model)(ff)
+        ff = Dense(self.d_model, dtype=self.compute_dtype)(ff)
         ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
         return nn.LayerNorm(epsilon=1e-5)(x + ff)
 
@@ -65,21 +66,22 @@ class TransformerDecoderLayer(nn.Module):
     num_heads: int
     ff_dim: int
     dropout_rate: float = 0.0
+    compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
-            dropout_rate=self.dropout_rate,
+            dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
         )
         self.cross_attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
-            dropout_rate=self.dropout_rate,
+            dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
         )
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
         self.norm3 = nn.LayerNorm(epsilon=1e-5)
-        self.ff_up = Dense(self.ff_dim)
-        self.ff_down = Dense(self.d_model)
+        self.ff_up = Dense(self.ff_dim, dtype=self.compute_dtype)
+        self.ff_down = Dense(self.d_model, dtype=self.compute_dtype)
         self.drop = nn.Dropout(self.dropout_rate)
 
     def self_attn_block(self, tgt, train: bool = False):
@@ -135,13 +137,15 @@ class SetEncoderAttn(nn.Module):
     num_layers: int = 2
     ff_dim: int = 512
     dropout_rate: float = 0.0
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, points, train: bool = False):
         x = Dense(self.d_model)(points)
         for _ in range(self.num_layers):
             x = TransformerEncoderLayer(
-                self.d_model, self.num_heads, self.ff_dim, self.dropout_rate
+                self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
+                compute_dtype=self.compute_dtype,
             )(x, train)
         s = x.max(axis=1)  # AdaptiveMaxPool1d(1) over points
         return Dense(self.latent_dim)(s), Dense(self.latent_dim)(s)
@@ -185,6 +189,7 @@ class SetDecoderAttn(nn.Module):
     num_layers: int = 2
     ff_dim: int = 512
     dropout_rate: float = 0.0
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -197,7 +202,8 @@ class SetDecoderAttn(nn.Module):
         memory = Dense(self.d_model)(z)[:, None, :]  # [B, 1, d_model]
         layers = [
             TransformerDecoderLayer(
-                self.d_model, self.num_heads, self.ff_dim, self.dropout_rate
+                self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
+                compute_dtype=self.compute_dtype,
             )
             for _ in range(self.num_layers)
         ]
@@ -239,8 +245,14 @@ class SetVAE(nn.Module):
     attn_dropout: float = 0.0
     data_type: str = "set"
     grad_mode: str = "composite"
+    # mixed_precision: bf16 compute in all transformer matmuls
+    # (projections, FFN, attention); params, LayerNorm, softmax, latent
+    # heads, and the Chamfer loss stay f32. The reference trains f32;
+    # config key `mixed_precision: true` opts in.
+    mixed_precision: bool = False
 
     def setup(self):
+        cdt = jnp.bfloat16 if self.mixed_precision else None
         if self.use_attention:
             self.encoder = SetEncoderAttn(
                 latent_dim=self.latent_channel,
@@ -249,6 +261,7 @@ class SetVAE(nn.Module):
                 num_layers=self.num_encoder_layers,
                 ff_dim=self.ff_dim,
                 dropout_rate=self.attn_dropout,
+                compute_dtype=cdt,
             )
             self.decoder = SetDecoderAttn(
                 latent_dim=self.latent_channel,
@@ -258,6 +271,7 @@ class SetVAE(nn.Module):
                 num_layers=self.num_decoder_layers,
                 ff_dim=self.ff_dim,
                 dropout_rate=self.attn_dropout,
+                compute_dtype=cdt,
             )
         else:
             self.encoder = SetEncoder(

@@ -27,10 +27,14 @@ def lrelu(x, slope: float = LRELU_SLOPE):
 
 
 class Dense(nn.Module):
-    """nn.Linear equivalent with torch-default initialization."""
+    """nn.Linear equivalent with torch-default initialization.
+
+    `dtype` is the flax compute dtype: params stay f32, the matmul runs
+    in `dtype` (bf16 feeds the v5e MXU at full rate)."""
 
     features: int
     use_bias: bool = True
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -38,6 +42,7 @@ class Dense(nn.Module):
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_bias_init(fan_in),
         )(x)

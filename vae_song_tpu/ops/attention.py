@@ -106,6 +106,8 @@ class MultiHeadAttention(nn.Module):
     d_model: int
     use_flash: bool = False
     dropout_rate: float = 0.0
+    compute_dtype: object = None  # e.g. jnp.bfloat16: projections run on
+    # the MXU at full rate; params stay f32, softmax accumulates f32
 
     @nn.compact
     def __call__(self, inputs_q, inputs_kv, train: bool = False):
@@ -118,6 +120,7 @@ class MultiHeadAttention(nn.Module):
         def in_proj(name):
             return nn.Dense(
                 self.d_model, name=name,
+                dtype=self.compute_dtype,
                 kernel_init=_mha_in_proj_init,
                 bias_init=nn.initializers.zeros,
             )
@@ -154,6 +157,7 @@ class MultiHeadAttention(nn.Module):
         out = out.reshape(b, n_q, self.d_model)
         return nn.Dense(
             self.d_model, name="out",
+            dtype=self.compute_dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=nn.initializers.zeros,
         )(out)
