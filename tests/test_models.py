@@ -157,16 +157,21 @@ def test_setvae_mixed_precision_trains(key):
 
     pts = np.random.default_rng(0).normal(size=(4, 32, 3)).astype(np.float32)
     losses = {}
-    for mp_flag in (False, True):
+    # (mixed_precision, use_flash): flash falls back to XLA attention off
+    # TPU (ops/attention.py:_flash_ok), so the third variant exercises
+    # the fallback composition on the CPU backend
+    for mp_flag, flash in ((False, False), (True, False), (True, True)):
         m = SetVAE(latent_channel=8, num_points=32, d_model=16, num_heads=2,
-                   ff_dim=32, beta=0.1, mixed_precision=mp_flag)
+                   ff_dim=32, beta=0.1, mixed_precision=mp_flag, use_flash=flash)
         params, bs = init_model(m, pts, seed=0)
         assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
         tx = make_optimizer(lr=1e-3)
         state = TrainState.create(params, bs, tx)
         step = make_train_step(m, tx)
         state, metrics = step(state, jnp.asarray(pts), jnp.float32(0.0), key)
-        losses[mp_flag] = float(metrics["loss"])
-        assert np.isfinite(losses[mp_flag])
+        losses[(mp_flag, flash)] = float(metrics["loss"])
+        assert np.isfinite(losses[(mp_flag, flash)])
     # same init => bf16 compute stays within ~1% of the f32 loss
-    np.testing.assert_allclose(losses[True], losses[False], rtol=1e-2)
+    np.testing.assert_allclose(losses[(True, False)], losses[(False, False)], rtol=1e-2)
+    # CPU flash fallback is exactly the XLA bf16 path
+    np.testing.assert_allclose(losses[(True, True)], losses[(True, False)], rtol=1e-6)

@@ -79,6 +79,7 @@ def build_model(
             ff_dim=mp.get("ff_dim", 512),
             attn_dropout=mp.get("attn_dropout", 0.0),
             mixed_precision=mp.get("mixed_precision", False),
+            use_flash=mp.get("use_flash", False),
         )
         if exp_type == "setlrvae":
             return SetLRVAE(alpha=alpha, **kwargs)

@@ -35,6 +35,7 @@ class TransformerEncoderLayer(nn.Module):
     ff_dim: int
     dropout_rate: float = 0.0
     compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -42,6 +43,7 @@ class TransformerEncoderLayer(nn.Module):
         attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
             dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
+            use_flash=self.use_flash,
         )(x, x, train)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
@@ -67,15 +69,18 @@ class TransformerDecoderLayer(nn.Module):
     ff_dim: int
     dropout_rate: float = 0.0
     compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
+    use_flash: bool = False
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
             dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
+            use_flash=self.use_flash,
         )
         self.cross_attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
             dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
+            use_flash=self.use_flash,
         )
         self.norm1 = nn.LayerNorm(epsilon=1e-5)
         self.norm2 = nn.LayerNorm(epsilon=1e-5)
@@ -138,6 +143,7 @@ class SetEncoderAttn(nn.Module):
     ff_dim: int = 512
     dropout_rate: float = 0.0
     compute_dtype: object = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, points, train: bool = False):
@@ -145,7 +151,7 @@ class SetEncoderAttn(nn.Module):
         for _ in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype, use_flash=self.use_flash,
             )(x, train)
         s = x.max(axis=1)  # AdaptiveMaxPool1d(1) over points
         return Dense(self.latent_dim)(s), Dense(self.latent_dim)(s)
@@ -190,6 +196,7 @@ class SetDecoderAttn(nn.Module):
     ff_dim: int = 512
     dropout_rate: float = 0.0
     compute_dtype: object = None
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -203,7 +210,7 @@ class SetDecoderAttn(nn.Module):
         layers = [
             TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
-                compute_dtype=self.compute_dtype,
+                compute_dtype=self.compute_dtype, use_flash=self.use_flash,
             )
             for _ in range(self.num_layers)
         ]
@@ -250,6 +257,12 @@ class SetVAE(nn.Module):
     # heads, and the Chamfer loss stay f32. The reference trains f32;
     # config key `mixed_precision: true` opts in.
     mixed_precision: bool = False
+    # use_flash: Pallas flash attention with tuned block sizes (measured
+    # faster than XLA attention at the shipped shapes once blocks are
+    # tuned — ops/attention.py:_pick_block). NOTE: the Pallas call does
+    # not auto-partition under GSPMD tensor parallelism; keep it False
+    # when sharding heads over a 'model' mesh axis (parallel/tp.py).
+    use_flash: bool = False
 
     def setup(self):
         cdt = jnp.bfloat16 if self.mixed_precision else None
@@ -262,6 +275,7 @@ class SetVAE(nn.Module):
                 ff_dim=self.ff_dim,
                 dropout_rate=self.attn_dropout,
                 compute_dtype=cdt,
+                use_flash=self.use_flash,
             )
             self.decoder = SetDecoderAttn(
                 latent_dim=self.latent_channel,
@@ -272,6 +286,7 @@ class SetVAE(nn.Module):
                 ff_dim=self.ff_dim,
                 dropout_rate=self.attn_dropout,
                 compute_dtype=cdt,
+                use_flash=self.use_flash,
             )
         else:
             self.encoder = SetEncoder(

@@ -62,14 +62,36 @@ def _xla_attention(q, k, v, scale, compute_dtype=jnp.bfloat16):
     return out.astype(out_dtype)
 
 
-def _flash_attention(q, k, v, scale):
-    from jax.experimental.pallas.ops.tpu.flash_attention import flash_attention
+def _pick_block(n: int) -> int:
+    """Largest power-of-two block <= 1024 dividing the sequence length.
+    Measured on v5e at B=64/H=4/N=2048/D=64: q=kv=1024 gives 10.8 ms
+    fwd vs 40.0 ms with the kernel's default blocks and 19.2 ms for XLA
+    attention — block tuning is what makes flash win here."""
+    for b in (1024, 512, 256, 128):
+        if n % b == 0:
+            return b
+    return n
 
+
+def _flash_attention(q, k, v, scale):
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention,
+    )
+
+    n_q, n_kv = q.shape[1], k.shape[1]
+    bq, bkv = _pick_block(n_q), _pick_block(n_kv)
+    bs = BlockSizes(
+        block_q=bq, block_k_major=bkv, block_k=bkv, block_b=1,
+        block_q_major_dkv=bq, block_k_major_dkv=bkv,
+        block_k_dkv=bkv, block_q_dkv=bq,
+        block_k_major_dq=bkv, block_k_dq=bkv, block_q_dq=bq,
+    )
     # kernel layout is [B, H, N, D]
     qt = q.transpose(0, 2, 1, 3)
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
-    out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+    out = flash_attention(qt, kt, vt, causal=False, sm_scale=scale, block_sizes=bs)
     return out.transpose(0, 2, 1, 3)
 
 
@@ -93,13 +115,17 @@ def sequence_sharded_attention(q, k, v, scale, axis_name: str,
 class MultiHeadAttention(nn.Module):
     """torch-style MHA: q/k/v/out projections + scaled dot-product.
 
-    Default path is XLA attention with bf16 matmuls + f32 softmax — on
-    this hardware it measured FASTER than the Pallas flash kernel for
-    the set models' shapes (350 vs 572 ms/step full SetVAE step at
-    B=64, N=2048, f32; XLA already applies a flash-style rewrite).
-    `use_flash=True` switches to the Pallas kernel (note: the Pallas
-    call does not auto-partition under GSPMD tensor parallelism — keep
-    it off when sharding heads over a 'model' mesh axis).
+    Default path is XLA attention with bf16 matmuls + f32 softmax.
+    `use_flash=True` switches to the Pallas flash kernel with TUNED
+    block sizes (_pick_block): measured on v5e at the set models'
+    shapes (B=64, N=2048, H=4, D=64), tuned flash is ~1.7x faster than
+    XLA attention (10.8 vs 19.2 ms fwd per layer; full SetVAE step
+    203.9 -> 136.4 ms f32, 192.8 -> 118.1 ms bf16). With the kernel's
+    DEFAULT blocks flash is slower (40 ms fwd) — block tuning is the
+    whole game; round 1 measured untuned flash at 572 ms/full-step and
+    wrongly concluded XLA wins. Caveat: the Pallas call does not
+    auto-partition under GSPMD tensor parallelism — keep it off when
+    sharding heads over a 'model' mesh axis (parallel/tp.py).
     """
 
     num_heads: int
