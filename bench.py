@@ -41,16 +41,19 @@ def log(*args):
     print(*args, file=sys.stderr, flush=True)
 
 
-def _compiled_flops(jitted, *args):
-    """Analytic FLOPs of the compiled program via XLA cost analysis."""
+def _aot(jitted, *args):
+    """AOT-compile once; return (compiled callable, analytic FLOPs from
+    XLA's cost analysis of that same executable — no second compile)."""
+    compiled = jitted.lower(*args).compile()
     try:
-        ca = jitted.lower(*args).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, list):
             ca = ca[0]
-        return float(ca["flops"])
+        flops = float(ca["flops"])
     except Exception as e:
         log(f"cost_analysis unavailable: {e}")
-        return None
+        flops = None
+    return compiled, flops
 
 
 def measure_tpu_throughput():
@@ -80,6 +83,7 @@ def measure_tpu_throughput():
     zero = jnp.float32(0.0)
 
     t0 = time.time()
+    step, flops = _aot(step, state, x, zero, keys[-1])
     state, m = step(state, x, zero, keys[-1])
     _ = float(m["loss"])
     log(f"compile+first step: {time.time()-t0:.1f}s on {jax.devices()[0]}")
@@ -102,7 +106,6 @@ def measure_tpu_throughput():
         best = min(best, dt)
     sps = BATCH * BENCH_STEPS / best
     log(f"tpu single-step path: {BENCH_STEPS} steps in {best:.3f}s -> {sps:.0f} samples/sec")
-    flops = _compiled_flops(step, state, x, zero, keys[0])
 
     # the multi-step path train_and_test actually uses for HBM-resident
     # datasets (K unrolled optimizer steps per dispatch, batches gathered
@@ -168,6 +171,11 @@ def measure_setvae_step(mixed_precision=False, use_flash=False):
     zero = jnp.float32(0.0)
 
     t0 = time.time()
+    flops = None
+    if not use_flash:
+        # the flash program's cost analysis omits the Pallas custom
+        # call's FLOPs — don't bother for that variant
+        step, flops = _aot(step, state, x, zero, keys[-1])
     state, m = step(state, x, zero, keys[-1])
     _ = float(m["loss"])
     log(f"setvae compile+first step: {time.time()-t0:.1f}s")
@@ -181,11 +189,9 @@ def measure_setvae_step(mixed_precision=False, use_flash=False):
         _ = float(m["loss"])  # close the measurement with a real D2H fetch
         best = min(best, time.time() - t0)
     ms = best / inner * 1000
-    flops = _compiled_flops(step, state, x, zero, keys[0])
     tag = ("bf16" if mixed_precision else "f32") + ("+flash" if use_flash else "+xla")
     log(f"setvae[{tag}] B={B} N={N}: {ms:.1f} ms/step, "
-        f"{(flops or 0)/1e12:.3f} TFLOP/step (cost-analysis; flash custom "
-        f"call counts 0 — use the XLA variant's flops for MFU)")
+        f"{(flops or 0)/1e12:.3f} TFLOP/step by cost analysis")
     return ms, flops
 
 

@@ -136,11 +136,17 @@ def test_multihost_init_composes_with_mesh():
     import subprocess
     import sys
 
+    import socket
+
+    with socket.socket() as s:  # pick a free port; a fixed one can collide
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
     code = (
         'import jax\n'
         'jax.config.update("jax_platforms", "cpu")\n'
         'from vae_song_tpu.parallel import init_multihost, make_mesh\n'
-        'pid, nproc = init_multihost("localhost:12421", 1, 0)\n'
+        f'pid, nproc = init_multihost("localhost:{port}", 1, 0)\n'
         'assert (pid, nproc) == (0, 1), (pid, nproc)\n'
         'import jax.numpy as jnp\n'
         'from jax.sharding import NamedSharding, PartitionSpec as P\n'

@@ -79,6 +79,29 @@ def test_structural_specs_cover_decoder_ffn():
     assert n_sharded == 2 * 10 + 2 * 17, n_sharded
 
 
+def test_square_ffn_kernels_keep_megatron_pairing():
+    """ff_dim == d_model makes FFN kernels square — the shape rule is
+    ambiguous there and must fall back to the name tiebreak instead of
+    silently replicating the whole FFN."""
+    m = SetLRVAE(latent_channel=8, num_points=32, d_model=16, num_heads=2,
+                 ff_dim=16, alpha=0.1, beta=0.1)
+    pts = np.random.default_rng(0).normal(size=(4, 32, 3)).astype(np.float32)
+    params, _ = init_model(m, pts, seed=0)
+    specs = setvae_param_specs(params)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    by_path = {
+        "/".join(str(getattr(p, "key", p)) for p in path): spec
+        for path, spec in flat
+    }
+    # decoder names: ff_up / ff_down
+    assert by_path["decoder/TransformerDecoderLayer_0/ff_up/Dense_0/kernel"] == P(None, "model")
+    assert by_path["decoder/TransformerDecoderLayer_0/ff_down/Dense_0/kernel"] == P("model", None)
+    # encoder names: wrapper Dense_0 (up) / Dense_1 (down) — the down
+    # path contains an inner Dense_0 token, the classic footgun
+    assert by_path["encoder/TransformerEncoderLayer_0/Dense_0/Dense_0/kernel"] == P(None, "model")
+    assert by_path["encoder/TransformerEncoderLayer_0/Dense_1/Dense_0/kernel"] == P("model", None)
+
+
 def test_tp_coverage_invariant_raises():
     """A parameter tree whose transformer layer matches no structural
     rule (square non-attention kernel) must fail loudly, not train

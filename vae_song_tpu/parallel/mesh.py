@@ -36,14 +36,19 @@ def init_multihost(coordinator_address: str | None = None,
     coordinator/process parameters are auto-detected from the cluster
     environment, so all-None arguments are the normal pod usage. After
     this, `jax.devices()` returns the GLOBAL device list, so `make_mesh`
-    (and every DP/TP step built on it) spans hosts transparently —
-    shardings lay the 'data'/'model' axes over ICI within a slice and
-    XLA routes any cross-slice collectives over DCN.
+    builds a global mesh; `shard_batch`/`replicate_state` assemble
+    global arrays from process-local data (each process feeds its own
+    shard of the global batch), and XLA routes cross-slice collectives
+    over DCN. Per-process file outputs (loggers, checkpoints, artifact
+    dumps) are the caller's responsibility to gate on
+    `jax.process_index() == 0`; `train_and_test` does this for its own
+    writers. Validated single-process only (no pod on this box) —
+    the array-assembly paths follow the documented JAX multi-process
+    API (make_array_from_process_local_data / make_array_from_callback).
 
     The reference has no multi-host story at all (SURVEY.md §2.5 — its
     sweep scripts run independent processes, which `parallel/sweep.py`
-    covers); this completes the tpu-native framework claim. Returns
-    (process_index, process_count).
+    covers). Returns (process_index, process_count).
     """
     jax.distributed.initialize(
         coordinator_address=coordinator_address,
@@ -64,13 +69,34 @@ def make_mesh(n_data: int | None = None, n_model: int = 1, devices=None) -> Mesh
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place params/opt_state replicated on the mesh."""
+    """Place params/opt_state replicated on the mesh.
+
+    Multi-process: device_put cannot place host-local data onto a
+    sharding that spans non-addressable devices; assemble the global
+    replicated arrays from (identical, same-seed) local copies via
+    make_array_from_callback instead."""
     repl = NamedSharding(mesh, P())
-    return jax.device_put(state, repl)
+    if jax.process_count() == 1:
+        return jax.device_put(state, repl)
+    import numpy as np
+
+    def rep(leaf):
+        a = np.asarray(leaf)
+        return jax.make_array_from_callback(a.shape, repl, lambda idx: a[idx])
+
+    return jax.tree.map(rep, state)
 
 
 def shard_batch(x, mesh: Mesh):
-    return jax.device_put(x, NamedSharding(mesh, P("data")))
+    """Shard a batch along 'data'. Multi-process: `x` is this process's
+    LOCAL portion of the global batch (global batch = local x process
+    count), assembled with make_array_from_process_local_data."""
+    sh = NamedSharding(mesh, P("data"))
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    import numpy as np
+
+    return jax.make_array_from_process_local_data(sh, np.asarray(x))
 
 
 def make_dp_train_step(model, tx, mesh: Mesh, L: int = 1) -> Callable:

@@ -27,12 +27,15 @@ _ATTN_ROLES = ("query", "key", "value")
 _LAYER_TOKENS = ("TransformerEncoderLayer", "TransformerDecoderLayer")
 
 
-def _dense_specs(module_name: str, kernel_shape, in_transformer_layer: bool):
+def _dense_specs(path: tuple, kernel_shape, in_transformer_layer: bool):
     """Structural sharding rule for one Dense-like module (a dict that
-    directly holds a 'kernel'). Classification is by the attention role
-    name and the KERNEL SHAPE — never by auto-generated flax names like
-    Dense_0/Dense_1, so renaming a submodule cannot silently flip an FFN
-    projection's layout. Returns (kernel_spec, bias_spec)."""
+    directly holds a 'kernel'). Primary classification is by attention
+    role name and KERNEL SHAPE (up = out>in, down = in>out) so renamed
+    submodules cannot silently flip an FFN projection's layout; for the
+    shape-ambiguous square case (ff_dim == d_model) the module path
+    breaks the tie ('up'/'Dense_0' wrapper vs 'down'/'Dense_1').
+    Returns (kernel_spec, bias_spec)."""
+    module_name = str(path[-1]) if path else ""
     if module_name in _ATTN_ROLES:
         if len(kernel_shape) == 3:  # DenseGeneral [d_model, heads, head_dim]
             return P(None, "model", None), P("model", None)
@@ -47,15 +50,25 @@ def _dense_specs(module_name: str, kernel_shape, in_transformer_layer: bool):
             return P(None, "model"), P("model")
         if d_in > d_out:  # FFN down [ff, d_model]: rows sharded, bias replicated
             return P("model", None), P()
-        # square kernel inside a layer: ambiguous -> replicate (safe)
+        # square kernel (ff_dim == d_model): shape can't distinguish up
+        # from down — break the tie on the module/wrapper names. 'down'
+        # is checked first because every inner flax Dense is auto-named
+        # Dense_0, so the down path 'Dense_1/Dense_0' contains both
+        # tokens (the same footgun the old string rules had).
+        hint = "/".join(str(p).lower() for p in path[-2:])
+        parent = str(path[-2]).lower() if len(path) >= 2 else ""
+        if "down" in hint or parent.startswith("dense_1"):
+            return P("model", None), P()
+        if "up" in hint or parent.startswith("dense_0"):
+            return P(None, "model"), P("model")
+        # genuinely unidentifiable -> replicate (safe)
     return P(), P()
 
 
 def _module_specs(tree, path=()):
     in_layer = any(tok in str(k) for k in path for tok in _LAYER_TOKENS)
     if hasattr(tree, "items") and "kernel" in tree and not hasattr(tree["kernel"], "items"):
-        name = str(path[-1]) if path else ""
-        kspec, bspec = _dense_specs(name, tree["kernel"].shape, in_layer)
+        kspec, bspec = _dense_specs(path, tree["kernel"].shape, in_layer)
         out = {}
         for k, v in tree.items():
             out[k] = kspec if k == "kernel" else (bspec if k == "bias" else P())

@@ -139,6 +139,15 @@ def train_and_test(
         state, ckpt_epoch, resume_extra = ckpt_lib.load_checkpoint(resume_from, state)
         start_epoch = ckpt_epoch + 1
 
+    # multi-process launches (init_multihost): only process 0 writes the
+    # shared result tree; other processes write to a throwaway dir so
+    # the loggers stay callable without file races
+    is_main = jax.process_index() == 0
+    if not is_main:
+        import tempfile
+
+        output_root = tempfile.mkdtemp(prefix="vst_nonmain_")
+
     name = synth_run_name(model)
     result_dir = os.path.join(output_root, "results", resultname, name)
     os.makedirs(os.path.join(result_dir, "params"), exist_ok=True)
@@ -202,7 +211,8 @@ def train_and_test(
     multi_step = None
     multi_k = 1
     if (
-        not data_parallel
+        epochs > start_epoch  # gen-only mode must not upload the dataset
+        and not data_parallel
         and not use_scan
         and getattr(model, "data_type", None) != "set"
         and train_ds.X.nbytes < 512 * 1024 * 1024
