@@ -112,7 +112,8 @@ def measure_tpu_throughput():
     # on device) — this is the framework's real MNIST training route
     from vae_song_tpu.train.steps import make_multistep_train_step
 
-    K = 6  # divides BENCH_STEPS: 5 dispatches per trial
+    K = 15  # divides BENCH_STEPS: 2 dispatches per trial (K=6 measured
+    # 77k samples/sec, K=15 136k; compile ~2 min, amortized by training)
     n_disp = BENCH_STEPS // K
     mstep = make_multistep_train_step(model, tx, K)
     X = jnp.asarray(rng.uniform(size=(BATCH * 32, 28, 28, 1)).astype(np.float32))

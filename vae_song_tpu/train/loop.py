@@ -217,7 +217,12 @@ def train_and_test(
         and getattr(model, "data_type", None) != "set"
         and train_ds.X.nbytes < 512 * 1024 * 1024
     ):
-        multi_k = max((k for k in range(2, 9) if steps_per_epoch % k == 0), default=1)
+        # K caps at 16: throughput grows ~linearly in K until compute
+        # dominates dispatch (measured: K=6 77k, K=15 136k samples/sec on
+        # the bench model) but compile time also grows ~linearly
+        # (~8 s/step remote), so 16 balances one-time compile vs steady
+        # state for 100-epoch runs
+        multi_k = max((k for k in range(2, 17) if steps_per_epoch % k == 0), default=1)
         if multi_k > 1:
             from vae_song_tpu.train.steps import make_multistep_train_step
 
