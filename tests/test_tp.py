@@ -165,3 +165,20 @@ def test_tp_dp_step_runs(key):
     q = next(v for path, v in leaves
              if "query" in path_str(path) and "kernel" in path_str(path))
     assert "model" in str(q.sharding.spec)
+
+
+def test_tp_rejects_flash_attention():
+    """GSPMD TP cannot partition the Pallas flash call — constructing
+    the TP step with a use_flash model must fail loudly."""
+    import pytest
+    from vae_song_tpu.train.state import make_optimizer
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = SetLRVAE(latent_channel=8, num_points=32, d_model=16, num_heads=2,
+                 ff_dim=32, alpha=0.1, beta=0.1, use_flash=True)
+    pts = np.random.default_rng(0).normal(size=(8, 32, 3)).astype(np.float32)
+    params, bs = init_model(m, pts, seed=0)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(params, bs, tx)
+    with pytest.raises(ValueError, match="use_flash"):
+        make_tp_dp_train_step(m, tx, mesh, state)

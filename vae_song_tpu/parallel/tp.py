@@ -152,6 +152,13 @@ def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
                           L: int = 1):
     """jit train step with GSPMD: batch on 'data', attention/FFN params
     on 'model'; XLA inserts the gradient/activation collectives."""
+    if mesh.shape.get("model", 1) > 1 and getattr(model, "use_flash", False):
+        raise ValueError(
+            "use_flash=True cannot be combined with tensor parallelism: "
+            "the Pallas flash-attention call does not auto-partition "
+            "under GSPMD. Construct the model with use_flash=False for "
+            "TP meshes (XLA attention shards transparently)."
+        )
     grads_fn = make_grads_fn(model, L)
     sh = state_shardings(example_state, mesh)
     data_sh = NamedSharding(mesh, P("data"))
