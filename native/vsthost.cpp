@@ -13,8 +13,13 @@
 #include <cstdint>
 #include <cstring>
 #include <algorithm>
+#include <atomic>
 #include <cmath>
+#include <condition_variable>
+#include <mutex>
 #include <random>
+#include <thread>
+#include <vector>
 
 extern "C" {
 
@@ -111,6 +116,157 @@ double chamfer_cpu(const float* pred, const float* gt, int64_t b,
         total += sum_p / double(np_) + sum_g / double(ng);
     }
     return total / double(b);
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Threaded prefetch batch loader — the native equivalent of the
+// reference's DataLoader(num_workers=8, pin_memory, drop_last)
+// (main.py:182-197): worker threads assemble shuffled contiguous
+// batches into a bounded ring of slots ahead of the consumer, so batch
+// gather/copy overlaps the TPU dispatch on the main thread.
+//
+// Rows are opaque bytes (X float images / point clouds, Y any label
+// dtype). The loader BORROWS the dataset pointers — the Python wrapper
+// keeps the arrays alive for the loader's lifetime.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct Loader {
+    const uint8_t* X;
+    const uint8_t* Y;
+    int64_t x_row = 0, y_row = 0;   // bytes per row
+    int64_t batch = 0, n_batches = 0;
+    int64_t depth = 0;
+    std::vector<int64_t> perm;
+
+    std::vector<std::vector<uint8_t>> slot_x, slot_y;
+    std::vector<int64_t> slot_tag;   // batch index + 1 stored in slot, 0 = empty
+    std::atomic<int64_t> next_job{0};
+    int64_t consumed = 0;            // guarded by m
+    std::mutex m;
+    std::condition_variable cv_full, cv_free;
+    bool stopping = false;
+    std::vector<std::thread> workers;
+
+    void fill(int64_t b) {
+        const int64_t s = b % depth;
+        uint8_t* dx = slot_x[s].data();
+        uint8_t* dy = slot_y[s].data();
+        const int64_t* p = perm.data() + b * batch;
+        for (int64_t i = 0; i < batch; ++i) {
+            std::memcpy(dx + i * x_row, X + p[i] * x_row, x_row);
+            if (y_row) std::memcpy(dy + i * y_row, Y + p[i] * y_row, y_row);
+        }
+    }
+
+    void worker() {
+        for (;;) {
+            const int64_t b = next_job.fetch_add(1);
+            if (b >= n_batches) return;
+            {
+                // wait until the ring slot for batch b is free
+                std::unique_lock<std::mutex> lk(m);
+                cv_free.wait(lk, [&] { return stopping || b - consumed < depth; });
+                if (stopping) return;
+            }
+            fill(b);
+            {
+                std::lock_guard<std::mutex> lk(m);
+                slot_tag[b % depth] = b + 1;
+            }
+            cv_full.notify_all();
+        }
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+void* loader_create(const uint8_t* X, const uint8_t* Y, int64_t n,
+                    int64_t x_row_bytes, int64_t y_row_bytes,
+                    int64_t batch, int drop_last, int shuffle,
+                    uint64_t seed, int64_t n_workers, int64_t depth) {
+    auto* L = new Loader();
+    L->X = X;
+    L->Y = Y;
+    L->x_row = x_row_bytes;
+    L->y_row = Y ? y_row_bytes : 0;
+    L->batch = batch;
+    L->n_batches = drop_last ? n / batch : (n + batch - 1) / batch;
+    // a short final batch would change the row count per slot; the
+    // framework (like the reference) trains drop_last, so refuse ragged
+    if (!drop_last && n % batch != 0) L->n_batches = n / batch;
+    L->depth = std::max<int64_t>(1, depth);
+
+    L->perm.resize(L->n_batches * batch);
+    std::vector<int64_t> order(n);
+    for (int64_t i = 0; i < n; ++i) order[i] = i;
+    if (shuffle) {
+        std::mt19937_64 rng(seed);
+        for (int64_t i = n - 1; i > 0; --i) {
+            std::uniform_int_distribution<int64_t> d(0, i);
+            std::swap(order[i], order[d(rng)]);
+        }
+    }
+    std::memcpy(L->perm.data(), order.data(),
+                sizeof(int64_t) * L->n_batches * batch);
+
+    L->slot_x.resize(L->depth);
+    L->slot_y.resize(L->depth);
+    L->slot_tag.assign(L->depth, 0);
+    for (int64_t s = 0; s < L->depth; ++s) {
+        L->slot_x[s].resize(batch * x_row_bytes);
+        L->slot_y[s].resize(L->y_row ? batch * L->y_row : 1);
+    }
+    const int64_t nw = std::max<int64_t>(1, n_workers);
+    for (int64_t w = 0; w < nw; ++w)
+        L->workers.emplace_back(&Loader::worker, L);
+    return L;
+}
+
+int64_t loader_num_batches(void* h) {
+    return static_cast<Loader*>(h)->n_batches;
+}
+
+// Copy the next batch into caller buffers. Returns 1, or 0 when the
+// epoch is exhausted.
+int loader_next(void* h, uint8_t* out_x, uint8_t* out_y) {
+    auto* L = static_cast<Loader*>(h);
+    int64_t b;
+    {
+        std::unique_lock<std::mutex> lk(L->m);
+        b = L->consumed;
+        if (b >= L->n_batches) return 0;
+        L->cv_full.wait(lk, [&] { return L->slot_tag[b % L->depth] == b + 1; });
+    }
+    std::memcpy(out_x, L->slot_x[b % L->depth].data(), L->batch * L->x_row);
+    if (L->y_row && out_y)
+        std::memcpy(out_y, L->slot_y[b % L->depth].data(), L->batch * L->y_row);
+    {
+        std::lock_guard<std::mutex> lk(L->m);
+        L->slot_tag[b % L->depth] = 0;
+        L->consumed = b + 1;
+    }
+    L->cv_free.notify_all();
+    return 1;
+}
+
+void loader_destroy(void* h) {
+    auto* L = static_cast<Loader*>(h);
+    {
+        std::lock_guard<std::mutex> lk(L->m);
+        L->stopping = true;
+        L->next_job.store(L->n_batches);
+        // unblock any worker waiting on a full ring
+        L->consumed = L->n_batches;
+    }
+    L->cv_free.notify_all();
+    for (auto& t : L->workers) t.join();
+    delete L;
 }
 
 }  // extern "C"

@@ -1,0 +1,147 @@
+"""Sequence-parallel training (parallel/sp.py): a full SetVAE/SetLRVAE
+train step with the point axis sharded must reproduce the single-device
+step — params, metrics, and the Chamfer loss itself."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from vae_song_tpu.models import SetVAE, SetLRVAE
+from vae_song_tpu.ops.chamfer import chamfer_distance, chamfer_sp
+from vae_song_tpu.parallel.sp import (
+    SEQ_AXIS,
+    make_sp_mesh,
+    shard_points,
+    make_sp_train_step,
+    make_sp_eval_step,
+)
+from vae_song_tpu.train.loop import init_model
+from vae_song_tpu.train.state import TrainState, make_optimizer
+from vae_song_tpu.train.steps import make_train_step
+
+
+def _tiny_model(cls, **kw):
+    return cls(latent_channel=4, num_points=32, d_model=16, num_heads=2,
+               num_encoder_layers=2, num_decoder_layers=2, ff_dim=32, beta=0.1, **kw)
+
+
+def _clouds(b=4, n=32):
+    return np.random.default_rng(0).normal(size=(b, n, 3)).astype(np.float32)
+
+
+def test_chamfer_sp_matches_full():
+    mesh = make_sp_mesh(n_data=1, n_seq=8)
+    pred = jnp.asarray(_clouds(2, 64))
+    gt = jnp.asarray(np.random.default_rng(1).normal(size=(2, 64, 3)).astype(np.float32))
+    full = chamfer_distance(pred, gt)
+
+    def per_device(p, g):
+        # shard-mean of the per-shard values = full-cloud Chamfer
+        return jax.lax.pmean(chamfer_sp(p, g, SEQ_AXIS), SEQ_AXIS)
+
+    got = jax.jit(
+        jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(None, SEQ_AXIS), P(None, SEQ_AXIS)),
+            out_specs=P(), check_vma=False,
+        )
+    )(pred, gt)
+    np.testing.assert_allclose(float(got), float(full), rtol=1e-5)
+
+
+@pytest.mark.parametrize("cls", [SetVAE, SetLRVAE])
+def test_sp_step_matches_single_device(cls):
+    """Pure-seq mesh (1 x 8): the data axis has one shard, so the rng
+    fold_in matches the single-device step exactly and the SP step must
+    produce the same metrics and GRADIENTS. SGD(lr=1) makes the param
+    delta equal minus the gradient — Adam would amplify the float noise
+    of mathematically-zero gradients (the attention key biases: softmax
+    is invariant to a constant logit shift, so their true grad is 0 and
+    both paths compute ~1e-6 noise against a ~10 gradient scale) into
+    arbitrary sign flips."""
+    import optax
+
+    model = _tiny_model(cls)
+    x = _clouds()
+    tx = optax.sgd(1.0)
+    rng0 = jax.random.PRNGKey(7)
+
+    params, bs = init_model(model, x[:2], seed=0)
+    params0 = jax.tree.map(np.asarray, params)  # host copy survives donation
+    ref_step = make_train_step(model, tx)
+    # the single-device step folds nothing; the SP step folds in
+    # axis_index('data') == 0 — replicate that here for key equality
+    ref_state, ref_metrics = ref_step(
+        TrainState.create(params, bs, tx), jnp.asarray(x),
+        jnp.float32(1.0), jax.random.fold_in(rng0, 0),
+    )
+
+    mesh = make_sp_mesh(n_data=1, n_seq=8)
+    sp_step = make_sp_train_step(model, tx, mesh)
+    # re-init: the reference step donates (deletes) its input state
+    params, bs = init_model(model, x[:2], seed=0)
+    state = jax.device_put(
+        TrainState.create(params, bs, tx),
+        jax.sharding.NamedSharding(mesh, P()),
+    )
+    xs = shard_points(jnp.asarray(x), mesh)
+    sp_state, sp_metrics = sp_step(state, xs, jnp.float32(1.0), rng0)
+
+    # bf16 attention matmuls reduce in different tile orders between the
+    # sharded and unsharded programs — tolerances sized for that
+    for k in ("loss", "recon", "reg", "lr"):
+        np.testing.assert_allclose(
+            float(sp_metrics[k]), float(ref_metrics[k]), rtol=2e-3, atol=1e-5
+        )
+    for p0, a, b in zip(
+        jax.tree.leaves(params0),
+        jax.tree.leaves(ref_state.params),
+        jax.tree.leaves(sp_state.params),
+    ):
+        g_ref = p0 - np.asarray(a)  # = gradient under SGD(lr=1)
+        g_sp = p0 - np.asarray(b)
+        # bf16 noise is absolute at the scale of each leaf's LARGEST
+        # gradient (matmul accumulations), so near-zero elements of a
+        # large-scale leaf carry that absolute noise too
+        atol = 3e-4 + 2e-3 * float(np.abs(g_ref).max())
+        np.testing.assert_allclose(g_sp, g_ref, rtol=2e-2, atol=atol)
+
+
+def test_sp_dp_combined_finite_and_decreasing():
+    """2 x 4 mesh (data x seq): batch AND points sharded; two steps run
+    and the loss stays finite (value differs from single-device because
+    batch-shard rng decorrelation changes the sampled eps)."""
+    model = _tiny_model(SetLRVAE)
+    x = _clouds(b=4)
+    params, bs = init_model(model, x[:2], seed=0)
+    tx = make_optimizer(lr=1e-3)
+
+    mesh = make_sp_mesh(n_data=2, n_seq=4)
+    step = make_sp_train_step(model, tx, mesh)
+    eval_step = make_sp_eval_step(model, mesh)
+    state = jax.device_put(
+        TrainState.create(params, bs, tx),
+        jax.sharding.NamedSharding(mesh, P()),
+    )
+    xs = shard_points(jnp.asarray(x), mesh)
+    state, m1 = step(state, xs, jnp.float32(1.0), jax.random.PRNGKey(0))
+    state, m2 = step(state, xs, jnp.float32(1.0), jax.random.PRNGKey(1))
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    ev = eval_step(state, xs, jnp.float32(1.0), jax.random.PRNGKey(2))
+    assert np.isfinite(float(ev["loss"]))
+
+
+def test_sp_guards():
+    mesh = make_sp_mesh(n_data=1, n_seq=8)
+    tx = make_optimizer(lr=1e-3)
+    with pytest.raises(NotImplementedError):
+        make_sp_train_step(_tiny_model(SetVAE, use_attention=False), tx, mesh)
+    with pytest.raises(ValueError):
+        make_sp_train_step(_tiny_model(SetVAE, use_flash=True), tx, mesh)
+    with pytest.raises(ValueError):
+        # 30 points don't divide over 8 shards
+        bad = SetVAE(latent_channel=4, num_points=30, d_model=16,
+                     num_heads=2, ff_dim=32)
+        make_sp_train_step(bad, tx, mesh)

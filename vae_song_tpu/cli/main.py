@@ -59,6 +59,7 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             resume_from=resume_from,
             data_parallel=data_parallel,
             checkpoint_every=checkpoint_every,
+            native_prefetch=bool(common.get("native_prefetch", False)),
         )
         results.append(summary)
     return results

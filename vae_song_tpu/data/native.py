@@ -49,6 +49,18 @@ def _load():
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ]
         lib.chamfer_cpu.restype = ctypes.c_double
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.loader_create.argtypes = [
+            u8p, u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.c_int, ctypes.c_uint64,
+            ctypes.c_int64, ctypes.c_int64,
+        ]
+        lib.loader_create.restype = ctypes.c_void_p
+        lib.loader_num_batches.argtypes = [ctypes.c_void_p]
+        lib.loader_num_batches.restype = ctypes.c_int64
+        lib.loader_next.argtypes = [ctypes.c_void_p, u8p, u8p]
+        lib.loader_next.restype = ctypes.c_int
+        lib.loader_destroy.argtypes = [ctypes.c_void_p]
         _lib = lib
     except Exception as e:  # toolchain missing -> numpy fallbacks
         print(f"native vsthost unavailable ({e}); using numpy fallbacks")
@@ -117,6 +129,81 @@ def make_permutation(n: int, seed: int = 0):
     out = np.empty(n, np.int64)
     lib.make_permutation(n, seed, _iptr(out))
     return out
+
+
+class NativeBatchLoader:
+    """Threaded prefetch batch loader (native loader_* entry points) —
+    the framework's equivalent of the reference's
+    DataLoader(num_workers=8, pin_memory, drop_last) (main.py:182-197):
+    C++ worker threads gather shuffled contiguous batches into a bounded
+    ring ahead of the consumer, overlapping host batch assembly with TPU
+    dispatch.
+
+    Iterates one epoch of (x, y) numpy batches; deterministic for a
+    given seed (same Fisher-Yates order as `make_permutation`). Falls
+    back to synchronous numpy gather when the native library is
+    unavailable. Single consumer; drop_last semantics always.
+    """
+
+    def __init__(self, X, y=None, batch_size: int = 1, shuffle: bool = True,
+                 seed: int = 0, n_workers: int = 2, depth: int = 4):
+        self.X = np.ascontiguousarray(X)
+        self.y = np.ascontiguousarray(y) if y is not None else None
+        self.batch = int(batch_size)
+        self.n_batches = len(self.X) // self.batch
+        self._shuffle = shuffle
+        self._seed = seed
+        self._nw = n_workers
+        self._depth = depth
+        self._h = None
+        self._lib = _load()
+
+    def __len__(self):
+        return self.n_batches
+
+    def _u8(self, a):
+        return a.view(np.uint8).reshape(len(a), -1) if a is not None else None
+
+    def __iter__(self):
+        if self._lib is None:
+            perm = (
+                np.random.default_rng(self._seed).permutation(len(self.X))
+                if self._shuffle else np.arange(len(self.X))
+            )
+            for b in range(self.n_batches):
+                sel = perm[b * self.batch:(b + 1) * self.batch]
+                yield self.X[sel], (self.y[sel] if self.y is not None else None)
+            return
+
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        Xb = self._u8(self.X)
+        Yb = self._u8(self.y)
+        x_row = Xb.shape[1]
+        y_row = Yb.shape[1] if Yb is not None else 0
+        h = self._lib.loader_create(
+            Xb.ctypes.data_as(u8p),
+            Yb.ctypes.data_as(u8p) if Yb is not None else None,
+            len(self.X), x_row, y_row, self.batch, 1,
+            1 if self._shuffle else 0, self._seed, self._nw, self._depth,
+        )
+        try:
+            ox = np.empty((self.batch, x_row), np.uint8)
+            oy = np.empty((self.batch, max(y_row, 1)), np.uint8)
+            for _ in range(self.n_batches):
+                ok = self._lib.loader_next(
+                    h, ox.ctypes.data_as(u8p), oy.ctypes.data_as(u8p)
+                )
+                if not ok:
+                    break
+                x = ox.view(self.X.dtype).reshape((self.batch,) + self.X.shape[1:]).copy()
+                yv = None
+                if self.y is not None:
+                    yv = oy[:, :y_row].view(self.y.dtype).reshape(
+                        (self.batch,) + self.y.shape[1:]
+                    ).copy()
+                yield x, yv
+        finally:
+            self._lib.loader_destroy(h)
 
 
 def chamfer_cpu(pred, gt) -> float:

@@ -33,8 +33,38 @@ def iterate_batches(
     device=None,
     augment=None,
     augment_key=None,
+    native_prefetch: bool = False,
 ):
-    """Yield (x, y) device arrays; optional on-device augmentation fn."""
+    """Yield (x, y) device arrays; optional on-device augmentation fn.
+
+    `native_prefetch=True` assembles host batches on the C++ worker
+    threads (data/native.py:NativeBatchLoader — the reference
+    DataLoader(num_workers=8) analogue) so the gather/copy overlaps TPU
+    dispatch; the device-side double buffering is identical. Requires
+    drop_last (the loader's contract) and falls back silently when the
+    native library is unavailable."""
+    if native_prefetch and drop_last:
+        from vae_song_tpu.data import native
+
+        if native.available():
+            seed = int((rng or np.random.default_rng()).integers(2**63))
+            loader = native.NativeBatchLoader(
+                dataset.X, dataset.y, batch_size,
+                shuffle=shuffle, seed=seed,
+            )
+            pending = None
+            for i, (hx, hy) in enumerate(loader):
+                x = jax.device_put(hx, device)
+                y = jax.device_put(hy, device)
+                if augment is not None:
+                    x = augment(jax.random.fold_in(augment_key, i), x)
+                if pending is not None:
+                    yield pending
+                pending = (x, y)
+            if pending is not None:
+                yield pending
+            return
+
     n = len(dataset)
     idx = np.arange(n)
     if shuffle:

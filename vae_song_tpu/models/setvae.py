@@ -36,6 +36,7 @@ class TransformerEncoderLayer(nn.Module):
     dropout_rate: float = 0.0
     compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
     use_flash: bool = False
+    seq_axis: str | None = None  # sequence-parallel self-attention
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -43,7 +44,7 @@ class TransformerEncoderLayer(nn.Module):
         attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
             dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
-            use_flash=self.use_flash,
+            use_flash=self.use_flash, seq_axis=self.seq_axis,
         )(x, x, train)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
         x = nn.LayerNorm(epsilon=1e-5)(x + attn)
@@ -70,12 +71,14 @@ class TransformerDecoderLayer(nn.Module):
     dropout_rate: float = 0.0
     compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
     use_flash: bool = False
+    seq_axis: str | None = None  # sequence-parallel SELF-attention only:
+    # cross-attention's kv is the replicated length-1 memory token
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
             dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
-            use_flash=self.use_flash,
+            use_flash=self.use_flash, seq_axis=self.seq_axis,
         )
         self.cross_attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
@@ -144,6 +147,7 @@ class SetEncoderAttn(nn.Module):
     dropout_rate: float = 0.0
     compute_dtype: object = None
     use_flash: bool = False
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, points, train: bool = False):
@@ -152,8 +156,16 @@ class SetEncoderAttn(nn.Module):
             x = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
+                seq_axis=self.seq_axis,
             )(x, train)
         s = x.max(axis=1)  # AdaptiveMaxPool1d(1) over points
+        if self.seq_axis is not None:
+            # points are sharded: the pool must span every shard. NOT
+            # lax.pmax — it has no differentiation rule; all_gather the
+            # tiny [B, d_model] pooled vectors (differentiable, its
+            # transpose is psum_scatter) and max over the shard axis, so
+            # encoder gradients flow back to the winning shard.
+            s = jax.lax.all_gather(s, self.seq_axis).max(axis=0)
         return Dense(self.latent_dim)(s), Dense(self.latent_dim)(s)
 
 
@@ -197,6 +209,7 @@ class SetDecoderAttn(nn.Module):
     dropout_rate: float = 0.0
     compute_dtype: object = None
     use_flash: bool = False
+    seq_axis: str | None = None
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -206,11 +219,22 @@ class SetDecoderAttn(nn.Module):
             lambda k, s: jax.random.normal(k, s) * 0.02,
             (self.num_points, self.d_model),
         )
+        local_n = self.num_points
+        if self.seq_axis is not None:
+            # params are replicated under shard_map: each shard decodes
+            # only its contiguous slice of the learned query embeddings
+            n_shards = jax.lax.psum(1, self.seq_axis)
+            local_n = self.num_points // n_shards
+            shard = jax.lax.axis_index(self.seq_axis)
+            queries = jax.lax.dynamic_slice_in_dim(
+                queries, shard * local_n, local_n, axis=0
+            )
         memory = Dense(self.d_model)(z)[:, None, :]  # [B, 1, d_model]
         layers = [
             TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
+                seq_axis=self.seq_axis,
             )
             for _ in range(self.num_layers)
         ]
@@ -222,11 +246,11 @@ class SetDecoderAttn(nn.Module):
                 # a full B x N^2 attention (algebraically identical;
                 # per-sample dropout masks would differ, hence the gate)
                 x = layer.self_attn_block(x, train)
-                x = jnp.broadcast_to(x, (b, self.num_points, self.d_model))
+                x = jnp.broadcast_to(x, (b, local_n, self.d_model))
                 x = layer.cross_ffn_block(x, memory, train)
             else:
                 if x.shape[0] != b:
-                    x = jnp.broadcast_to(x, (b, self.num_points, self.d_model))
+                    x = jnp.broadcast_to(x, (b, local_n, self.d_model))
                 x = layer(x, memory, train)
         return Dense(3)(x)
 
@@ -263,9 +287,23 @@ class SetVAE(nn.Module):
     # not auto-partition under GSPMD tensor parallelism; keep it False
     # when sharding heads over a 'model' mesh axis (parallel/tp.py).
     use_flash: bool = False
+    # seq_axis: mesh axis name sharding the POINT axis (sequence
+    # parallelism, parallel/sp.py). Set via model.clone(seq_axis=...) by
+    # make_sp_train_step — the model then only works inside a shard_map
+    # binding that axis. Scales clouds past one chip's HBM: attention
+    # k/v all-gather over ICI, pooling pmax, per-shard query slices,
+    # sharded Chamfer. Attention models only (DeepSets BN stats would
+    # need cross-shard sync).
+    seq_axis: str | None = None
 
     def setup(self):
         cdt = jnp.bfloat16 if self.mixed_precision else None
+        if self.seq_axis is not None and not self.use_attention:
+            raise NotImplementedError(
+                "sequence parallelism is implemented for the attention "
+                "set models (use_attention=True); the DeepSets encoder's "
+                "BatchNorm statistics are not synced across point shards"
+            )
         if self.use_attention:
             self.encoder = SetEncoderAttn(
                 latent_dim=self.latent_channel,
@@ -276,6 +314,7 @@ class SetVAE(nn.Module):
                 dropout_rate=self.attn_dropout,
                 compute_dtype=cdt,
                 use_flash=self.use_flash,
+                seq_axis=self.seq_axis,
             )
             self.decoder = SetDecoderAttn(
                 latent_dim=self.latent_channel,
@@ -287,6 +326,7 @@ class SetVAE(nn.Module):
                 dropout_rate=self.attn_dropout,
                 compute_dtype=cdt,
                 use_flash=self.use_flash,
+                seq_axis=self.seq_axis,
             )
         else:
             self.encoder = SetEncoder(
@@ -316,8 +356,18 @@ class SetVAE(nn.Module):
         recon = self.decode(z, train)
         return recon, mu, log_var, z, None
 
+    def _chamfer(self, recon, x):
+        if self.seq_axis is not None:
+            # per-shard query terms vs the all-gathered full clouds; the
+            # SP train step's pmean-of-grads over seq_axis makes the
+            # combined gradient exactly the full-cloud Chamfer gradient
+            from vae_song_tpu.ops.chamfer import chamfer_sp
+
+            return chamfer_sp(recon, x, self.seq_axis)
+        return best_chamfer(recon, x)
+
     def loss(self, x, recon, mu, log_var, z_input=None, z_recon=None, wu_alpha: float = 0.0):
-        loss_recon = best_chamfer(recon, x)
+        loss_recon = self._chamfer(recon, x)
         loss_reg = losses.kl_divergence(mu, log_var)
         total = loss_recon + self.beta * loss_reg
         return total, loss_recon, loss_reg, jnp.zeros(())
@@ -343,7 +393,7 @@ class SetLRVAE(SetVAE):
         return recon, mu, log_var, z, z_recon
 
     def loss(self, x, recon, mu, log_var, z_input, z_recon, wu_alpha: float = 0.0):
-        loss_recon = best_chamfer(recon, x)
+        loss_recon = self._chamfer(recon, x)
         loss_reg = losses.kl_divergence(mu, log_var)
         loss_lr = losses.latent_recon_loss(z_input, z_recon)
         total = loss_recon + self.beta * loss_reg + self.alpha * wu_alpha * loss_lr

@@ -134,6 +134,11 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     compute_dtype: object = None  # e.g. jnp.bfloat16: projections run on
     # the MXU at full rate; params stay f32, softmax accumulates f32
+    seq_axis: str | None = None  # mesh axis sharding the POINT/sequence
+    # dimension of inputs_kv (sequence parallelism): k/v are all-gathered
+    # over ICI inside shard_map (sequence_sharded_attention). Only set by
+    # SELF-attention call sites — cross-attention to the replicated
+    # length-1 latent memory token needs no collective.
 
     @nn.compact
     def __call__(self, inputs_q, inputs_kv, train: bool = False):
@@ -160,7 +165,22 @@ class MultiHeadAttention(nn.Module):
         k = k.reshape(b, n_kv, h, d)
         v = v.reshape(b, n_kv, h, d)
 
-        if self.dropout_rate > 0.0:
+        if self.seq_axis is not None:
+            # sequence parallelism: the point axis of inputs_kv is a
+            # shard; gather full keys/values over ICI, attend locally.
+            # Dropout on attention weights is unsupported here (the
+            # shipped configs are dropout-free); flash is bypassed — the
+            # all-gathered XLA path is the SP design (ops docstring).
+            if self.dropout_rate > 0.0:
+                raise NotImplementedError(
+                    "attention-weight dropout is not supported under "
+                    "sequence parallelism (seq_axis)"
+                )
+            out = sequence_sharded_attention(
+                q, k, v, scale, self.seq_axis,
+                compute_dtype=self.compute_dtype or jnp.bfloat16,
+            )
+        elif self.dropout_rate > 0.0:
             # torch MHA drops attention WEIGHTS — requires materialized
             # scores, so this path is XLA-only (flash keeps them in VMEM)
             logits = jnp.einsum(

@@ -200,6 +200,35 @@ def _scatter_add(base, idx, updates):
 chamfer_distance_pallas.defvjp(_chamfer_fwd, _chamfer_bwd)
 
 
+def chamfer_sp(pred_local, gt_local, axis_name: str, tile: int = 512):
+    """Sequence-parallel Chamfer: point axes of BOTH clouds sharded over
+    mesh axis `axis_name` (inside shard_map).
+
+    Each shard all-gathers the opposite cloud ([B, N, 3] floats — a few
+    MB over ICI, negligible next to the O(N^2/p) distance compute) and
+    evaluates the nearest-neighbour minima only for its LOCAL query
+    slices. Returns the PER-SHARD value
+
+        c_i = mean_{local pred} min_gt d^2 + mean_{local gt} min_pred d^2
+
+    whose shard-mean is the full-cloud Chamfer (equal shard sizes), so a
+    pmean over `axis_name` of either the value or its gradients yields
+    exactly the single-device quantity — the convention parallel/sp.py's
+    train step uses for every loss term.
+    """
+    pred_full = jax.lax.all_gather(pred_local, axis_name, axis=1, tiled=True)
+    gt_full = jax.lax.all_gather(gt_local, axis_name, axis=1, tiled=True)
+
+    def _local_min(query, ref):
+        if max(query.shape[1], ref.shape[1]) <= _DENSE_LIMIT:
+            return _sq_dists(query, ref).min(axis=2)
+        return _min_dists_tiled(query, ref, tile)
+
+    min_p2g = _local_min(pred_local, gt_full)  # [B, Np/p]
+    min_g2p = _local_min(gt_local, pred_full)  # [B, Ng/p]
+    return (min_p2g.mean(axis=1) + min_g2p.mean(axis=1)).mean()
+
+
 def best_chamfer(points_pred, points_gt):
     """Pick the Pallas kernel when eligible, else the tiled XLA path."""
     on_tpu = jax.default_backend() == "tpu"

@@ -1,0 +1,200 @@
+"""Pipeline parallelism: GPipe-style microbatched execution of a deep
+block stack over a 'stage' mesh axis.
+
+The reference is single-device (SURVEY.md §2.5); this is the TPU-native
+scaling primitive for models DEEPER than one chip — the flagship
+pinwheel config is already a 12-block residual-MLP stack
+(configs/config_pinwheel.yaml), which is the shape this op pipelines:
+
+  * the LAYER axis of a stack of identical blocks is split into S
+    contiguous stages, one per device on the 'stage' mesh axis
+    (stacked parameters sharded P('stage') on their leading axis),
+  * the batch is split into M microbatches; over M + S - 1 ticks each
+    device applies its stage and hands the activation to its ICI
+    neighbour with `lax.ppermute` (the classic GPipe schedule, bubble
+    fraction (S-1)/(M+S-1)),
+  * outputs leave the last stage via a masked psum (differentiable;
+    its transpose broadcasts the cotangents back into the pipeline, so
+    `jax.grad` through this function IS pipelined backprop — each
+    device computes exactly its own stage's parameter gradients).
+
+Everything is data-independent control flow (static tick count,
+`jnp.where` masking) — one XLA program, no host round-trips.
+
+tests/test_pp.py verifies forward and gradient equality against the
+single-device stacked scan.
+"""
+
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+STAGE_AXIS = "stage"
+
+
+def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices[:n_stages]), (STAGE_AXIS,))
+
+
+def _pipeline(block_fn, local_params, x_micro, axis_name, n_stages):
+    """The GPipe schedule, run INSIDE a shard_map binding `axis_name`.
+
+    block_fn(local_params, x_mb) -> y_mb — applies THIS stage's layers
+      (local_params is the device-local slice of the stacked params;
+      activations keep one shape across stages).
+    x_micro: [M, mb, ...] microbatched input, replicated over stages
+      (only stage 0 reads it). `n_stages` is the static mesh size.
+    Returns [M, mb, ...] outputs, replicated over stages via masked psum.
+    """
+    s = lax.axis_index(axis_name)
+    m = x_micro.shape[0]
+    state = jnp.zeros_like(x_micro[0])
+    outs = jnp.zeros((m,) + x_micro.shape[1:], x_micro.dtype)
+    right = [(i, i + 1) for i in range(n_stages - 1)]
+
+    for t in range(m + n_stages - 1):
+        feed_idx = min(t, m - 1)
+        inp = jnp.where(s == 0, x_micro[feed_idx], state)
+        y = block_fn(local_params, inp)
+        out_idx = t - (n_stages - 1)
+        if out_idx >= 0:
+            # only the LAST stage's y is microbatch out_idx's result
+            write = jnp.where(s == n_stages - 1, y, outs[out_idx])
+            outs = outs.at[out_idx].set(write)
+        if right:
+            state = lax.ppermute(y, axis_name, right)
+
+    # replicate the last stage's buffer to every stage (differentiable:
+    # psum transpose broadcasts cotangents back)
+    mask = (s == n_stages - 1).astype(outs.dtype)
+    return lax.psum(outs * mask, axis_name)
+
+
+def stack_block_params(init_fn, key, n_layers: int):
+    """Stack per-layer param pytrees along a leading axis: the canonical
+    layout for both lax.scan single-device application and P('stage')
+    pipeline sharding."""
+    keys = jax.random.split(key, n_layers)
+    per_layer = [init_fn(k) for k in keys]
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *per_layer)
+
+
+def scan_blocks(block_apply: Callable, stacked_params, x):
+    """Single-device reference: apply all stacked layers sequentially."""
+
+    def body(carry, layer_params):
+        return block_apply(layer_params, carry), None
+
+    y, _ = lax.scan(body, x, stacked_params)
+    return y
+
+
+def make_pp_apply(block_apply: Callable, mesh: Mesh, n_layers: int,
+                  n_micro: int):
+    """Build a jitted pipelined forward over `mesh`'s 'stage' axis.
+
+    block_apply(layer_params, x) -> y applies ONE layer; layers are
+    grouped contiguously onto stages (n_layers % n_stages == 0).
+
+    pp_fn(stacked_params, x) -> y
+      stacked_params: leading axis n_layers (sharded onto stages)
+      x: [B, ...] with B % n_micro == 0
+    """
+    n_stages = mesh.shape[STAGE_AXIS]
+    if n_layers % n_stages != 0:
+        raise ValueError(f"{n_layers} layers do not divide over {n_stages} stages")
+
+    def stage_fn(local_params, x):
+        def body(carry, layer_params):
+            return block_apply(layer_params, carry), None
+
+        y, _ = lax.scan(body, x, local_params)
+        return y
+
+    def per_device(local_params, x):
+        xm = x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:])
+        y = _pipeline(stage_fn, local_params, xm, STAGE_AXIS, n_stages)
+        return y.reshape(x.shape[:1] + y.shape[2:])
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(STAGE_AXIS), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def _opt_specs(tx, example_params, n_layers: int):
+    """PartitionSpec tree for an optax state over stacked layer params:
+    param-shaped leaves (adam mu/nu) shard on their leading layer axis,
+    scalars (step count) replicate."""
+    shapes = jax.eval_shape(tx.init, example_params)
+    return jax.tree.map(
+        lambda l: P(STAGE_AXIS)
+        if getattr(l, "ndim", 0) >= 1 and l.shape[0] == n_layers
+        else P(),
+        shapes,
+    )
+
+
+def shard_pp_state(params, opt_state, mesh: Mesh, tx, n_layers: int):
+    """Place stacked params + optimizer state onto the 'stage' axis."""
+    p_sh = jax.tree.map(
+        lambda _: NamedSharding(mesh, P(STAGE_AXIS)), params
+    )
+    o_sh = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec),
+        _opt_specs(tx, params, n_layers),
+    )
+    return jax.device_put(params, p_sh), jax.device_put(opt_state, o_sh)
+
+
+def make_pp_train_step(block_apply: Callable, loss_fn: Callable, tx,
+                       mesh: Mesh, n_layers: int, n_micro: int,
+                       example_params):
+    """Pipelined training: grad of loss_fn(y, target) through the GPipe
+    schedule. Gradients for each stage's parameters are computed on that
+    stage's device (pipelined backprop via the collectives' transposes)
+    and stay sharded P('stage'), as does the optimizer state.
+
+    step(stacked_params, opt_state, x, target) -> (params, opt_state, loss)
+    """
+    n_stages = mesh.shape[STAGE_AXIS]
+    if n_layers % n_stages != 0:
+        raise ValueError(f"{n_layers} layers do not divide over {n_stages} stages")
+    opt_specs = _opt_specs(tx, example_params, n_layers)
+
+    def stage_fn(local_params, x):
+        def body(carry, layer_params):
+            return block_apply(layer_params, carry), None
+
+        y, _ = lax.scan(body, x, local_params)
+        return y
+
+    def per_device(local_params, opt_state, x, target):
+        xm = x.reshape((n_micro, x.shape[0] // n_micro) + x.shape[1:])
+
+        def local_loss(p):
+            y = _pipeline(stage_fn, p, xm, STAGE_AXIS, n_stages)
+            return loss_fn(y.reshape(x.shape[:1] + y.shape[2:]), target)
+
+        loss, grads = jax.value_and_grad(local_loss)(local_params)
+        updates, new_opt = tx.update(grads, opt_state, local_params)
+        new_params = jax.tree.map(lambda p, u: p + u, local_params, updates)
+        return new_params, new_opt, loss
+
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(STAGE_AXIS), opt_specs, P(), P()),
+        out_specs=(P(STAGE_AXIS), opt_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0, 1))

@@ -96,6 +96,7 @@ def train_and_test(
     profile_dir: str | None = None,
     resume_from: str | None = None,
     data_parallel: bool = False,
+    native_prefetch: bool = False,
 ):
     """Returns (state, summary dict).
 
@@ -104,6 +105,10 @@ def train_and_test(
     capability the reference lacks entirely (SURVEY.md §5).
     data_parallel: shard batches over all available devices via
     shard_map DP (grad/BN pmean over ICI); params replicated.
+    native_prefetch: assemble host batches on the C++ worker threads
+    (data/native.py:NativeBatchLoader — the DataLoader(num_workers=8)
+    analogue, main.py:186); changes the shuffle stream, so keep it OFF
+    when comparing trajectories against non-prefetch runs.
     """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
@@ -350,6 +355,7 @@ def train_and_test(
                 iterate_batches(
                     train_ds, batch_size, rng=ep_np_rng,
                     augment=augment, augment_key=aug_key,
+                    native_prefetch=native_prefetch,
                 )
             ):
                 state, m = train_step(state, x, wu_dev, step_keys[i])
