@@ -263,7 +263,7 @@ def main():
         "mfu": round(mfu, 5),
         "setvae_ms_per_step": round(setvae_ms, 1),       # f32, XLA attn (parity config)
         "setvae_mfu": round(_mfu(setvae_flops, setvae_ms), 4),
-        "setvae_fast_ms_per_step": round(fast_ms, 1),    # bf16 + tuned Pallas flash
+        "setvae_fast_ms_per_step": round(fast_ms, 1),    # bf16 + Pallas attention (dense/flash auto-pick)
         "setvae_fast_mfu": round(_mfu(setvae_flops, fast_ms), 4),
         "v5e_peak_tflops_bf16": 197,
     }))

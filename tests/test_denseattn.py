@@ -1,0 +1,75 @@
+"""Dense (whole-row) Pallas attention vs XLA attention, interpret mode.
+
+The on-chip numbers live in PARITY.md; here we pin numerics: the f32
+kernel path must match XLA attention (ops/attention.py:_xla_attention)
+to float tolerance for the forward and all three input cotangents.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vae_song_tpu.ops.attention import _xla_attention
+from vae_song_tpu.ops.denseattn import MAX_DENSE_SEQ, dense_attention, dense_ok
+
+B, N, H, D = 2, 256, 2, 64
+SCALE = 1.0 / np.sqrt(D)
+
+
+def _inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, N, H, D)).astype(np.float32))
+    return mk(), mk(), mk()
+
+
+def test_forward_matches_xla_f32():
+    q, k, v = _inputs()
+    want = _xla_attention(q, k, v, SCALE, compute_dtype=jnp.float32)
+    got = dense_attention(q, k, v, SCALE, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+
+def test_backward_matches_xla_f32():
+    q, k, v = _inputs(1)
+    co = jnp.asarray(np.random.default_rng(2).normal(size=(B, N, H, D)).astype(np.float32))
+
+    def loss_dense(q, k, v):
+        return (dense_attention(q, k, v, SCALE, interpret=True) * co).sum()
+
+    def loss_xla(q, k, v):
+        return (_xla_attention(q, k, v, SCALE, compute_dtype=jnp.float32) * co).sum()
+
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", gd, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def test_bf16_forward_close_to_f32():
+    q, k, v = _inputs(3)
+    want = _xla_attention(q, k, v, SCALE, compute_dtype=jnp.float32)
+    got = dense_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
+        SCALE, interpret=True,
+    ).astype(jnp.float32)
+    # bf16 matmuls + bf16 softmax passes: ~1e-2 absolute on unit-scale data
+    assert float(jnp.abs(got - want).max()) < 5e-2
+
+
+@pytest.mark.parametrize(
+    "n_q,n_kv,d,ok",
+    [
+        (2048, 2048, 64, True),
+        (256, 256, 64, True),
+        (2048, 1024, 64, False),   # cross lengths unequal
+        (MAX_DENSE_SEQ * 2,) * 2 + (64, False),  # too long for VMEM
+        (320, 320, 64, False),     # not 128-aligned
+        (256, 256, 32, False),     # head dim not lane-aligned
+    ],
+)
+def test_dense_ok_predicate(n_q, n_kv, d, ok):
+    assert dense_ok(n_q, n_kv, d) is ok

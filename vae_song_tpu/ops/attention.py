@@ -196,7 +196,14 @@ class MultiHeadAttention(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(q.dtype)
         elif self.use_flash and _flash_ok(q, k):
-            out = _flash_attention(q, k, v, scale)
+            from vae_song_tpu.ops.denseattn import dense_attention, dense_ok
+
+            if dense_ok(n_q, n_kv, d):
+                # whole-row kernel: at N<=2048 the [N, N] scores fit in
+                # VMEM, beating the tiled flash kernel (see denseattn.py)
+                out = dense_attention(q, k, v, scale)
+            else:
+                out = _flash_attention(q, k, v, scale)
         else:
             out = _xla_attention(q, k, v, scale)
 

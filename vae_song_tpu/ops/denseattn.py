@@ -1,0 +1,176 @@
+"""Dense (whole-row) Pallas attention for the set models' shapes.
+
+The jax flash-attention kernel streams online-softmax tiles — the right
+design when N^2 scores don't fit on chip. At the set models' shapes
+(N = 2048, D = 64: model.py:950-992, config_shapenet_setvae.yaml) the
+FULL [N, N] f32 score matrix is 16.8 MB — it fits comfortably in a v5e
+core's VMEM, so a one-shot kernel that materializes scores on-chip
+skips the online-softmax bookkeeping entirely:
+
+  forward  (per batch*head grid step):
+      S = (q k^T) * scale;  P = softmax(S);  out = P v
+  backward (recompute, no [N, N] residuals in HBM):
+      P  = softmax(q k^T * scale)
+      dV = P^T dO
+      dP = dO v^T
+      dS = P * (dP - rowsum(dP * P))
+      dQ = dS k * scale;  dK = dS^T q * scale
+
+Matmuls run on the MXU with f32 accumulation (Mosaic requires 32-bit
+accumulators); the softmax passes over [N, N] run in bf16 when the
+inputs are bf16 (2x VPU rate), with the normalizer row-sum kept f32.
+Only q/k/v/out (and the cotangents) ever touch HBM. Measured on v5e at
+B=64/N=2048/H=4/D=64: 16.5 ms fwd+bwd per attention vs 21.7 ms for the
+tuned flash kernel (24% faster); full SetVAE train step 117.6 ->
+88.6 ms (see PARITY.md round-2 perf table).
+
+Used automatically by MultiHeadAttention's `use_flash` path when the
+sequence is short enough for VMEM (ops/attention.py:_flash_attention);
+fully tested against XLA attention in interpret mode on CPU
+(tests/test_denseattn.py) and on-chip by the bench.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+# [N, N] f32 scores must fit VMEM alongside q/k/v and P: 2048^2 * 4 B
+# = 16.8 MB each; cap where two such buffers + slack stay under ~64 MB
+MAX_DENSE_SEQ = 2048
+
+
+def _vpu_dtype(dtype):
+    """Elementwise softmax passes run at 2x VPU rate in bf16; keep them
+    f32 when the caller computes in f32 (the parity path)."""
+    return jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
+
+
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]                       # [N, D]
+    k = k_ref[0]
+    v = v_ref[0]
+    cd = _vpu_dtype(q.dtype)
+    # Mosaic requires a 32-bit matmul accumulator; cast down AFTER the
+    # dot so the softmax passes over [N, N] run at bf16 VPU rate
+    s = (jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(cd)              # [N, N]
+    m = s.max(axis=1, keepdims=True)
+    p = jnp.exp(s - m)
+    # f32 row-sum: the normalizer accumulates 2048 terms
+    l = p.astype(jnp.float32).sum(axis=1, keepdims=True)
+    # normalize AFTER the PV matmul: N*D divides instead of N*N
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (o / l).astype(q.dtype)
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+    cd = _vpu_dtype(q.dtype)
+    s = (jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(cd)
+    m = s.max(axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    l = e.astype(jnp.float32).sum(axis=1, keepdims=True)
+    p = e * (1.0 / l).astype(cd)                   # [N, N], one VPU pass
+    dv_ref[0] = jax.lax.dot_general(
+        p.astype(q.dtype), do, (((0,), (0,)), ((), ())),  # P^T dO
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),           # dO V^T  [N, N]
+        preferred_element_type=jnp.float32,
+    ).astype(cd)
+    # the rowsum is the softmax-jacobian inner product — f32 accumulate
+    prod = dp * p
+    row = prod.astype(jnp.float32).sum(axis=1, keepdims=True)
+    ds = (p * (dp - row.astype(cd))).astype(q.dtype)
+    dq_ref[0] = (jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(q.dtype)
+    dk_ref[0] = (jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())),           # dS^T Q
+        preferred_element_type=jnp.float32,
+    ) * scale).astype(q.dtype)
+
+
+def _call_fwd(q, k, v, scale, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n, d = q.shape
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale),
+        grid=(bh,),
+        in_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))] * 3,
+        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v)
+
+
+def _call_bwd(q, k, v, do, scale, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    bh, n, d = q.shape
+    spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))
+    shape = jax.ShapeDtypeStruct((bh, n, d), q.dtype)
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale),
+        grid=(bh,),
+        in_specs=[spec] * 4,
+        out_specs=(spec,) * 3,
+        out_shape=(shape,) * 3,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _dense_attention_bhnd(q, k, v, scale, interpret):
+    return _call_fwd(q, k, v, scale, interpret)
+
+
+def _vjp_fwd(q, k, v, scale, interpret):
+    return _call_fwd(q, k, v, scale, interpret), (q, k, v)
+
+
+def _vjp_bwd(scale, interpret, res, do):
+    q, k, v = res
+    dq, dk, dv = _call_bwd(q, k, v, do, scale, interpret)
+    return dq, dk, dv
+
+
+_dense_attention_bhnd.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def dense_attention(q, k, v, scale, interpret: bool = False):
+    """Whole-row Pallas attention. q/k/v: [B, N, H, D] (the framework's
+    attention layout); returns [B, N, H, D]. Requires n_q == n_kv <=
+    MAX_DENSE_SEQ (shape-checked by the caller)."""
+    b, n, h, d = q.shape
+    fold = lambda a: a.transpose(0, 2, 1, 3).reshape(b * h, n, d)
+    out = _dense_attention_bhnd(fold(q), fold(k), fold(v), scale, interpret)
+    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+
+
+def dense_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
+    return (
+        n_q == n_kv
+        and n_q <= MAX_DENSE_SEQ
+        and n_q % 128 == 0
+        and head_dim % 64 == 0
+    )
