@@ -60,6 +60,58 @@ def test_bf16_forward_close_to_f32():
     assert float(jnp.abs(got - want).max()) < 5e-2
 
 
+def test_gspmd_partitioning_matches_unsharded():
+    """The kernel's custom_partitioning rule: batch on 'data', heads on
+    'model' (the TP layout from parallel/tp.py) must reproduce the
+    unsharded result and cotangents exactly."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    q, k, v = _inputs(4)
+    want = _xla_attention(q, k, v, SCALE, compute_dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+    sh = NamedSharding(mesh, P("data", None, None, None))
+    # heads dim (H=2) can only shard 2-ways; shard batch over 'data'
+    f = jax.jit(
+        lambda q, k, v: dense_attention(q, k, v, SCALE, interpret=True),
+        in_shardings=(sh, sh, sh), out_shardings=sh,
+    )
+    got = f(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5, rtol=2e-5)
+
+    grad = jax.jit(
+        jax.grad(lambda q: dense_attention(q, k, v, SCALE, interpret=True).sum()),
+        in_shardings=(sh,),
+    )(q)
+    gw = jax.grad(lambda q: _xla_attention(q, k, v, SCALE, compute_dtype=jnp.float32).sum())(q)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(gw), atol=5e-5, rtol=5e-5)
+
+
+def test_shard_map_dp_context():
+    """The DP training path wraps compute in shard_map(check_vma=False)
+    (parallel/mesh.py); the kernel must run per-shard there."""
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    q, k, v = _inputs(5)
+    qb = jnp.tile(q, (4, 1, 1, 1))
+    kb = jnp.tile(k, (4, 1, 1, 1))
+    vb = jnp.tile(v, (4, 1, 1, 1))
+    want = _xla_attention(q, k, v, SCALE, compute_dtype=jnp.float32)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sm = jax.shard_map(
+        lambda q, k, v: dense_attention(q, k, v, SCALE, interpret=True),
+        mesh=mesh, in_specs=(P("data"),) * 3, out_specs=P("data"),
+        check_vma=False,
+    )
+    got = jax.jit(sm)(qb, kb, vb)
+    np.testing.assert_allclose(
+        np.asarray(got[:B]), np.asarray(want), atol=2e-5, rtol=2e-5
+    )
+
+
 @pytest.mark.parametrize(
     "n_q,n_kv,d,ok",
     [

@@ -167,9 +167,10 @@ def test_tp_dp_step_runs(key):
     assert "model" in str(q.sharding.spec)
 
 
-def test_tp_rejects_flash_attention():
-    """GSPMD TP cannot partition the Pallas flash call — constructing
-    the TP step with a use_flash model must fail loudly."""
+def test_tp_rejects_flash_attention_when_dense_ineligible():
+    """GSPMD TP cannot partition the tiled flash call; a use_flash model
+    whose self-attention shapes don't qualify for the partitionable
+    dense kernel (ops/denseattn.py) must fail loudly at construction."""
     import pytest
     from vae_song_tpu.train.state import make_optimizer
 
@@ -182,3 +183,26 @@ def test_tp_rejects_flash_attention():
     state = TrainState.create(params, bs, tx)
     with pytest.raises(ValueError, match="use_flash"):
         make_tp_dp_train_step(m, tx, mesh, state)
+
+
+def test_tp_accepts_flash_when_dense_eligible():
+    """use_flash + TP is allowed when the self-attention routes to the
+    dense kernel, which carries a custom_partitioning rule. (On the CPU
+    test backend the kernel itself is bypassed — _flash_ok requires
+    TPU — so this exercises construction + a step with XLA attention.)"""
+    from vae_song_tpu.train.state import make_optimizer
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = SetLRVAE(latent_channel=8, num_points=128, d_model=128, num_heads=2,
+                 ff_dim=32, alpha=0.1, beta=0.1, use_flash=True)
+    pts = np.random.default_rng(0).normal(size=(8, 128, 3)).astype(np.float32)
+    params, bs = init_model(m, pts, seed=0)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(params, bs, tx)
+    step = make_tp_dp_train_step(m, tx, mesh, state)
+    with mesh:
+        sharded = shard_state(state, mesh)
+        new_state, metrics = step(
+            sharded, jnp.asarray(pts), jnp.float32(0.1), jax.random.PRNGKey(0)
+        )
+    assert np.isfinite(float(metrics["loss"]))

@@ -123,9 +123,13 @@ class MultiHeadAttention(nn.Module):
     203.9 -> 136.4 ms f32, 192.8 -> 118.1 ms bf16). With the kernel's
     DEFAULT blocks flash is slower (40 ms fwd) — block tuning is the
     whole game; round 1 measured untuned flash at 572 ms/full-step and
-    wrongly concluded XLA wins. Caveat: the Pallas call does not
-    auto-partition under GSPMD tensor parallelism — keep it off when
-    sharding heads over a 'model' mesh axis (parallel/tp.py).
+    wrongly concluded XLA wins. For dense_ok shapes (N <= 2048,
+    lane-aligned) the whole-row dense kernel (ops/denseattn.py) is
+    picked instead — another 24% per attention, and it partitions under
+    GSPMD (custom_partitioning: batch/heads shard, N/D replicate), so
+    it composes with tensor parallelism. The tiled flash fallback does
+    NOT auto-partition — parallel/tp.py rejects TP models whose shapes
+    would route to it.
     """
 
     num_heads: int

@@ -106,51 +106,134 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
 
 
 def _call_fwd(q, k, v, scale, interpret):
+    """Raw pallas call over locally-materialized [B, H, N, D] shards."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bh, n, d = q.shape
-    return pl.pallas_call(
+    b, h, n, d = q.shape
+    fold = lambda a: a.reshape(b * h, n, d)
+    out = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(bh,),
+        grid=(b * h,),
         in_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))] * 3,
         out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bh, n, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q, k, v)
+    )(fold(q), fold(k), fold(v))
+    return out.reshape(b, h, n, d)
 
 
 def _call_bwd(q, k, v, do, scale, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    bh, n, d = q.shape
+    b, h, n, d = q.shape
+    fold = lambda a: a.reshape(b * h, n, d)
     spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))
-    shape = jax.ShapeDtypeStruct((bh, n, d), q.dtype)
-    return pl.pallas_call(
+    shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
-        grid=(bh,),
+        grid=(b * h,),
         in_specs=[spec] * 4,
         out_specs=(spec,) * 3,
         out_shape=(shape,) * 3,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q, k, v, do)
+    )(fold(q), fold(k), fold(v), fold(do))
+    unfold = lambda a: a.reshape(b, h, n, d)
+    return unfold(dq), unfold(dk), unfold(dv)
+
+
+# ---- GSPMD/Shardy partitioning -------------------------------------
+#
+# A pallas_call is an opaque custom call: under pjit/GSPMD the SPMD
+# partitioner would all-gather its operands onto every device. The
+# kernel's grid dimension is batch*heads, so batch ('data' mesh axis,
+# DP) and heads ('model' mesh axis, Megatron TP — parallel/tp.py shards
+# the qkv projections by head) partition trivially: wrap the calls in
+# custom_partitioning with "shard dims 0-1 freely, replicate N and D"
+# rules. This is what lets use_flash compose with tensor parallelism.
+
+def _bh_sharding(arg_shape, mesh):
+    """Keep the batch/head dim shardings of `arg_shape`, replicate N/D."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = arg_shape.sharding
+    spec = tuple(sh.spec) + (None,) * (4 - len(sh.spec))
+    return NamedSharding(getattr(sh, "mesh", mesh), P(spec[0], spec[1], None, None))
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_partitioned(scale, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fwd(q, k, v):
+        return _call_fwd(q, k, v, scale, interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        return _bh_sharding(arg_shapes[0], mesh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(arg_shapes[0], mesh)
+
+        def lower(q, k, v):
+            return _call_fwd(q, k, v, scale, interpret)
+
+        return mesh, lower, sh, (sh, sh, sh)
+
+    fwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h n d, b h n d, b h n d -> b h n d",
+        need_replication_factors=("n", "d"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_partitioned(scale, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def bwd(q, k, v, do):
+        return _call_bwd(q, k, v, do, scale, interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(arg_shapes[0], mesh)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh = _bh_sharding(arg_shapes[0], mesh)
+
+        def lower(q, k, v, do):
+            return _call_bwd(q, k, v, do, scale, interpret)
+
+        return mesh, lower, (sh, sh, sh), (sh, sh, sh, sh)
+
+    bwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h n d, b h n d, b h n d, b h n d "
+                      "-> b h n d, b h n d, b h n d",
+        need_replication_factors=("n", "d"),
+    )
+    return bwd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _dense_attention_bhnd(q, k, v, scale, interpret):
-    return _call_fwd(q, k, v, scale, interpret)
+    return _fwd_partitioned(scale, interpret)(q, k, v)
 
 
 def _vjp_fwd(q, k, v, scale, interpret):
-    return _call_fwd(q, k, v, scale, interpret), (q, k, v)
+    return _fwd_partitioned(scale, interpret)(q, k, v), (q, k, v)
 
 
 def _vjp_bwd(scale, interpret, res, do):
     q, k, v = res
-    dq, dk, dv = _call_bwd(q, k, v, do, scale, interpret)
+    dq, dk, dv = _bwd_partitioned(scale, interpret)(q, k, v, do)
     return dq, dk, dv
 
 
@@ -160,11 +243,12 @@ _dense_attention_bhnd.defvjp(_vjp_fwd, _vjp_bwd)
 def dense_attention(q, k, v, scale, interpret: bool = False):
     """Whole-row Pallas attention. q/k/v: [B, N, H, D] (the framework's
     attention layout); returns [B, N, H, D]. Requires n_q == n_kv <=
-    MAX_DENSE_SEQ (shape-checked by the caller)."""
+    MAX_DENSE_SEQ (shape-checked by the caller). Partitions over batch
+    and heads under pjit/GSPMD (custom_partitioning above)."""
     b, n, h, d = q.shape
-    fold = lambda a: a.transpose(0, 2, 1, 3).reshape(b * h, n, d)
-    out = _dense_attention_bhnd(fold(q), fold(k), fold(v), scale, interpret)
-    return out.reshape(b, h, n, d).transpose(0, 2, 1, 3)
+    to_bhnd = lambda a: a.transpose(0, 2, 1, 3)
+    out = _dense_attention_bhnd(to_bhnd(q), to_bhnd(k), to_bhnd(v), scale, interpret)
+    return out.transpose(0, 2, 1, 3)
 
 
 def dense_ok(n_q: int, n_kv: int, head_dim: int) -> bool:

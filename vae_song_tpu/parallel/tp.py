@@ -153,12 +153,22 @@ def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
     """jit train step with GSPMD: batch on 'data', attention/FFN params
     on 'model'; XLA inserts the gradient/activation collectives."""
     if mesh.shape.get("model", 1) > 1 and getattr(model, "use_flash", False):
-        raise ValueError(
-            "use_flash=True cannot be combined with tensor parallelism: "
-            "the Pallas flash-attention call does not auto-partition "
-            "under GSPMD. Construct the model with use_flash=False for "
-            "TP meshes (XLA attention shards transparently)."
-        )
+        from vae_song_tpu.ops.denseattn import dense_ok
+
+        n = getattr(model, "num_points", 0)
+        head_dim = model.d_model // model.num_heads
+        if not dense_ok(n, n, head_dim):
+            # the tiled flash kernel is an opaque custom call that GSPMD
+            # cannot partition; only the dense whole-row kernel carries
+            # a custom_partitioning rule (ops/denseattn.py), and the
+            # self-attention routes to it only for dense_ok shapes
+            raise ValueError(
+                "use_flash=True under tensor parallelism requires "
+                "self-attention shapes eligible for the dense Pallas "
+                f"kernel (got N={n}, head_dim={head_dim}); construct "
+                "the model with use_flash=False for TP meshes (XLA "
+                "attention shards transparently)."
+            )
     grads_fn = make_grads_fn(model, L)
     sh = state_shardings(example_state, mesh)
     data_sh = NamedSharding(mesh, P("data"))
