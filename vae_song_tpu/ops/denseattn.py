@@ -46,6 +46,22 @@ def _vpu_dtype(dtype):
     return jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
 
 
+def _softmax_shift(q, k, s, scale, cd):
+    """Row shift for a stable exp. f32 path: the exact row max. bf16
+    path: the Cauchy-Schwarz upper bound |q_i|*max_j|k_j|*scale >=
+    max_j(q_i.k_j)*scale, computed from the [N, D] operands — this
+    removes an entire [N, N] VPU pass (~14% of fwd). exp(s - bound) <= 1
+    so no overflow; the slack only rescales p and l identically (exact
+    in infinite precision) and stays within bf16's dynamic range for
+    any remotely normalized stream (underflow needs |q||k|*scale > ~90,
+    i.e. feature norms ~27x a LayerNormed stream's)."""
+    if cd == jnp.float32:
+        return s.max(axis=1, keepdims=True)
+    qn = jnp.sqrt((q.astype(jnp.float32) ** 2).sum(1, keepdims=True))  # [N, 1]
+    kn = jnp.sqrt((k.astype(jnp.float32) ** 2).sum(1))                 # [N]
+    return (qn * (kn.max() * scale)).astype(cd)
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     q = q_ref[0]                       # [N, D]
     k = k_ref[0]
@@ -57,7 +73,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale).astype(cd)              # [N, N]
-    m = s.max(axis=1, keepdims=True)
+    m = _softmax_shift(q, k, s, scale, cd)
     p = jnp.exp(s - m)
     # f32 row-sum: the normalizer accumulates 2048 terms
     l = p.astype(jnp.float32).sum(axis=1, keepdims=True)
@@ -79,7 +95,7 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale).astype(cd)
-    m = s.max(axis=1, keepdims=True)
+    m = _softmax_shift(q, k, s, scale, cd)
     e = jnp.exp(s - m)
     l = e.astype(jnp.float32).sum(axis=1, keepdims=True)
     p = e * (1.0 / l).astype(cd)                   # [N, N], one VPU pass
