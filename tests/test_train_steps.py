@@ -182,3 +182,44 @@ def test_multistep_equals_k_single_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=1e-3)
     np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-5)
     assert int(s2.step) == K
+
+
+def test_multistep_set_model_equals_k_single_steps():
+    """Set models route through the multi-step dispatch path too
+    (train/loop.py gates it to long runs); the fused program must match
+    K single steps on the same batches/keys."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from vae_song_tpu.models import SetVAE
+    from vae_song_tpu.train.loop import init_model
+    from vae_song_tpu.train.state import TrainState, make_optimizer
+    from vae_song_tpu.train.steps import make_train_step, make_multistep_train_step
+
+    model = SetVAE(latent_channel=4, num_points=16, d_model=16, num_heads=2,
+                   ff_dim=32, beta=0.01)
+    K, B = 2, 4
+    X = np.random.default_rng(0).normal(size=(K * B, 16, 3)).astype(np.float32)
+    params, bs = init_model(model, X[:B], seed=0)
+    tx = make_optimizer(lr=1e-3)
+    wu = jnp.float32(0.0)
+    keys = jax.random.split(jax.random.PRNGKey(7), K)
+    idx = np.arange(K * B, dtype=np.int32).reshape(K, B)
+
+    fresh = lambda: TrainState.create(
+        jax.tree.map(jnp.array, params), jax.tree.map(jnp.array, bs), tx
+    )
+    step = make_train_step(model, tx)
+    s1 = fresh()
+    losses = []
+    for i in range(K):
+        s1, m = step(s1, jnp.asarray(X[idx[i]]), wu, keys[i])
+        losses.append(float(m["loss"]))
+
+    mstep = make_multistep_train_step(model, tx, K)
+    s2, m2 = mstep(fresh(), jnp.asarray(X), jnp.asarray(idx), wu, keys, keys)
+
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=1e-3)
+    np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-5)
+    assert int(s2.step) == K

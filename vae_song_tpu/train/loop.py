@@ -215,19 +215,28 @@ def train_and_test(
     # (amortizes relay dispatch latency; see make_multistep_train_step)
     multi_step = None
     multi_k = 1
+    is_set = getattr(model, "data_type", None) == "set"
     if (
         epochs > start_epoch  # gen-only mode must not upload the dataset
         and not data_parallel
         and not use_scan
-        and getattr(model, "data_type", None) != "set"
         and train_ds.X.nbytes < 512 * 1024 * 1024
+        # set models: the step is ~88 ms of real compute, so the 10-20 ms
+        # relay dispatch is a ~15% tax, not 10x — only worth the
+        # K-unrolled compile (~25 s/step remote) on long runs
+        and (not is_set or epochs - start_epoch >= 20)
     ):
         # K caps at 16: throughput grows ~linearly in K until compute
         # dominates dispatch (measured: K=6 77k, K=15 136k samples/sec on
         # the bench model) but compile time also grows ~linearly
         # (~8 s/step remote), so 16 balances one-time compile vs steady
-        # state for 100-epoch runs
-        multi_k = max((k for k in range(2, 17) if steps_per_epoch % k == 0), default=1)
+        # state for 100-epoch runs. Set models cap at 4: the gain is
+        # only the dispatch tax, and their per-step compile is ~3x.
+        k_hi = 4 if is_set else 16
+        multi_k = max(
+            (k for k in range(2, k_hi + 1) if steps_per_epoch % k == 0),
+            default=1,
+        )
         if multi_k > 1:
             from vae_song_tpu.train.steps import make_multistep_train_step
 
