@@ -6,8 +6,10 @@ Reads our sweep cells (written by `vae_song_tpu.parallel.sweep` /
 {alpha, space, cell_idx, kl_div, lipschitz}) and the reference's
 committed cells (`res_share/vis_lip_kl_exp_scc/alpha_<a>_beta_<b>/
 experiment_metrics.csv`, same schema), and prints a markdown table of
-per-(alpha, beta) summary statistics: mean KL and mean decoder-Lipschitz
-over the 16x16 X-space grid and the 16x16 Z-space grid.
+per-(alpha, beta) summary statistics: MEDIAN KL and median
+decoder-Lipschitz over the 16x16 X-space grid and the 16x16 Z-space
+grid (medians, not means — see cell_stats: means are dominated by the
+near-empty boundary cells).
 
 Caveat printed with the table: the reference repo does not record the
 seed / data configuration that produced the committed cells, so the

@@ -99,3 +99,39 @@ def test_ep_train_step_matches_dense():
     for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(want)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_ep_train_step_d_model_equals_n_experts():
+    """Regression: adam moments for a [E, E]-shaped router used to be
+    misclassified as expert stacks by shape-sniffing when d_model ==
+    n_experts; _opt_specs now matches by tree structure."""
+    D_sq = E  # the ambiguous configuration
+    params = init_moe(jax.random.PRNGKey(3), D_sq, H, E)
+    x = jax.random.normal(jax.random.PRNGKey(4), (E * T_LOCAL, D_sq))
+    target = jax.random.normal(jax.random.PRNGKey(5), x.shape)
+    cf = float(E)
+    tx = optax.adam(1e-2)
+
+    def dense_loss(p):
+        outs = [
+            moe_ffn_dense(p, x[i * T_LOCAL:(i + 1) * T_LOCAL], cf)
+            for i in range(E)
+        ]
+        y = jnp.concatenate(outs, axis=0)
+        return jnp.mean((y - target) ** 2)
+
+    g = jax.grad(dense_loss)(params)
+    upd, _ = tx.update(g, tx.init(params), params)
+    want = jax.tree.map(lambda p, u: p + u, params, upd)
+    want_loss = float(dense_loss(params))
+
+    mesh = make_ep_mesh(E)
+    step = make_ep_train_step(tx, mesh, E, params, capacity_factor=cf)
+    p_sh = shard_moe(params, mesh)
+    o_sh = shard_moe_opt(tx.init(params), tx, params, mesh, E)
+    new_params, _, loss = step(p_sh, o_sh, x, target)
+
+    np.testing.assert_allclose(float(loss), want_loss, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(want)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -140,9 +140,13 @@ class NativeBatchLoader:
     dispatch.
 
     Iterates one epoch of (x, y) numpy batches; deterministic for a
-    given seed (same Fisher-Yates order as `make_permutation`). Falls
-    back to synchronous numpy gather when the native library is
-    unavailable. Single consumer; drop_last semantics always.
+    given seed. Note the native path shuffles with the C++ mt19937_64
+    Fisher-Yates (`make_permutation`) while the numpy fallback (used
+    only when the shared library is unavailable — pipeline.py gates on
+    `available()`, so in-framework use never mixes the two) draws a
+    numpy permutation: both are seed-deterministic but their orders
+    DIFFER, so don't compare trajectories across the two backends.
+    Single consumer; drop_last semantics always.
     """
 
     def __init__(self, X, y=None, batch_size: int = 1, shuffle: bool = True,

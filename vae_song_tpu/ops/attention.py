@@ -175,7 +175,8 @@ class MultiHeadAttention(nn.Module):
             # Dropout on attention weights is unsupported here (the
             # shipped configs are dropout-free); flash is bypassed — the
             # all-gathered XLA path is the SP design (ops docstring).
-            if self.dropout_rate > 0.0:
+            # Eval traces (train=False) are fine: dropout is identity.
+            if self.dropout_rate > 0.0 and train:
                 raise NotImplementedError(
                     "attention-weight dropout is not supported under "
                     "sequence parallelism (seq_axis)"

@@ -47,19 +47,18 @@ def _vpu_dtype(dtype):
 
 
 def _softmax_shift(q, k, s, scale, cd):
-    """Row shift for a stable exp. f32 path: the exact row max. bf16
-    path: the Cauchy-Schwarz upper bound |q_i|*max_j|k_j|*scale >=
-    max_j(q_i.k_j)*scale, computed from the [N, D] operands — this
-    removes an entire [N, N] VPU pass (~14% of fwd). exp(s - bound) <= 1
-    so no overflow; the slack only rescales p and l identically (exact
-    in infinite precision) and stays within bf16's dynamic range for
-    any remotely normalized stream (underflow needs |q||k|*scale > ~90,
-    i.e. feature norms ~27x a LayerNormed stream's)."""
-    if cd == jnp.float32:
-        return s.max(axis=1, keepdims=True)
-    qn = jnp.sqrt((q.astype(jnp.float32) ** 2).sum(1, keepdims=True))  # [N, 1]
-    kn = jnp.sqrt((k.astype(jnp.float32) ** 2).sum(1))                 # [N]
-    return (qn * (kn.max() * scale)).astype(cd)
+    """Row shift for a stable exp: the exact row max, all dtypes.
+
+    A Cauchy-Schwarz bound (|q_i|*max|k_j|*scale, computed from the
+    [N, D] operands) was tried here to save the [N, N] max pass (~8%
+    of fwd): REJECTED. When training transients blow up activations
+    (e.g. the SetVAE KL spike in the first epoch at the reference's
+    lr=1e-2), the bound's slack exceeds bf16's exp range, the whole
+    row underflows to p=0, l=0, and o = 0/0 — measured NaN at step 8
+    of the shipped ShapeNet config. The exact max is uncondition-
+    ally safe: exp(s - max) has a guaranteed 1.0 entry, so l >= 1."""
+    del q, k, scale, cd
+    return s.max(axis=1, keepdims=True)
 
 
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):

@@ -180,15 +180,30 @@ def make_ep_apply(mesh: Mesh, n_experts: int, capacity_factor: float = 1.25):
 
 
 def _opt_specs(tx, example_params, n_experts: int):
-    """PartitionSpec tree for the optax state: expert-stacked leaves
-    shard on 'expert', scalars/router-shaped leaves replicate."""
+    """PartitionSpec tree for the optax state: any subtree shaped like
+    the params (adam mu/nu) gets the params' specs — router replicated,
+    expert stacks on 'expert' — everything else replicates. Matching by
+    tree STRUCTURE, not leaf shape, so a router with d_model ==
+    n_experts cannot be misclassified as an expert stack."""
+    del n_experts
     shapes = jax.eval_shape(tx.init, example_params)
-    return jax.tree.map(
-        lambda l: P(EXPERT_AXIS)
-        if getattr(l, "ndim", 0) >= 2 and l.shape[0] == n_experts
-        else P(),
-        shapes,
-    )
+    param_structure = jax.tree.structure(example_params)
+    pspecs = MoEParams(router=P(), w1=P(EXPERT_AXIS), b1=P(EXPERT_AXIS),
+                       w2=P(EXPERT_AXIS), b2=P(EXPERT_AXIS))
+
+    def walk(node):
+        try:
+            if jax.tree.structure(node) == param_structure:
+                return pspecs
+        except Exception:
+            pass
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[walk(getattr(node, f)) for f in node._fields])
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(c) for c in node)
+        return jax.tree.map(lambda _: P(), node)
+
+    return walk(shapes)
 
 
 def shard_moe_opt(opt_state, tx, example_params: MoEParams, mesh: Mesh,

@@ -133,15 +133,27 @@ def make_pp_apply(block_apply: Callable, mesh: Mesh, n_layers: int,
 
 def _opt_specs(tx, example_params, n_layers: int):
     """PartitionSpec tree for an optax state over stacked layer params:
-    param-shaped leaves (adam mu/nu) shard on their leading layer axis,
-    scalars (step count) replicate."""
+    any subtree shaped like the params (adam mu/nu) shards on the
+    leading layer axis, everything else replicates. Matched by tree
+    STRUCTURE (like parallel/ep.py), not by leaf shape, so a stray
+    [n_layers]-shaped schedule leaf can't be misclassified."""
+    del n_layers
     shapes = jax.eval_shape(tx.init, example_params)
-    return jax.tree.map(
-        lambda l: P(STAGE_AXIS)
-        if getattr(l, "ndim", 0) >= 1 and l.shape[0] == n_layers
-        else P(),
-        shapes,
-    )
+    param_structure = jax.tree.structure(example_params)
+
+    def walk(node):
+        try:
+            if jax.tree.structure(node) == param_structure:
+                return jax.tree.map(lambda _: P(STAGE_AXIS), node)
+        except Exception:
+            pass
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[walk(getattr(node, f)) for f in node._fields])
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(c) for c in node)
+        return jax.tree.map(lambda _: P(), node)
+
+    return walk(shapes)
 
 
 def shard_pp_state(params, opt_state, mesh: Mesh, tx, n_layers: int):

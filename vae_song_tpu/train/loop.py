@@ -221,6 +221,9 @@ def train_and_test(
         and not data_parallel
         and not use_scan
         and train_ds.X.nbytes < 512 * 1024 * 1024
+        # an explicit native_prefetch request keeps the C++ loader path;
+        # the device-resident multistep path would never invoke it
+        and not native_prefetch
         # set models: the step is ~88 ms of real compute, so the 10-20 ms
         # relay dispatch is a ~15% tax, not 10x — only worth the
         # K-unrolled compile (~25 s/step remote) on long runs
@@ -294,8 +297,6 @@ def train_and_test(
             # deterministic schedules (kl_adaptive degrades to alpha(kl=0))
             for e in range(start_epoch):
                 wu_alpha = warmup_alpha(wu_alpha, e, epochs, wu_strat, last_kl_loss=last_kl)
-    is_set_model = getattr(model, "data_type", None) == "set"
-
     t_start = time.time()
     eval_means = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
     last_eval_batch = None  # stays None when test set < one batch
@@ -436,12 +437,12 @@ def train_and_test(
                 state.params,
                 state.batch_stats,
             )
-            if visualize_artifacts and not is_set_model and last_eval_batch is not None:
+            if visualize_artifacts and not is_set and last_eval_batch is not None:
                 _dump_artifacts(
                     model, state, last_eval_batch, encode_fn, decode_fn, forward_fn,
                     data_type, resultname, name, epoch, output_root, rng,
                 )
-            if visualize_artifacts and is_set_model:
+            if visualize_artifacts and is_set:
                 _dump_set_samples(
                     model, state, test_ds, decode_fn, forward_fn,
                     resultname, name, epoch, output_root, rng,
