@@ -89,3 +89,22 @@ def test_shapenet_fake_clouds():
     assert X.shape == (4, 128, 3)
     norms = np.linalg.norm(X, axis=-1)
     assert norms.max() < 1.5  # roughly unit-sphere surface
+
+
+def test_fake_shapenet_respects_num_samples():
+    """dataset_params num_samples/num_test_samples reach the fake
+    generator (regression: they were silently ignored, every fake
+    ShapeNet run got 256/64 shapes regardless of config)."""
+    from vae_song_tpu.data import load_dataset
+
+    tr, te, aug = load_dataset(
+        "shapenet_chair", fake=True, num_points=32, num_samples=40
+    )
+    assert len(tr) == 40
+    assert len(te) == 10  # default: num_samples // 4
+    assert tr.X.shape == (40, 32, 3)
+    tr2, te2, _ = load_dataset(
+        "shapenet_chair", fake=True, num_points=32, num_samples=40,
+        num_test_samples=7,
+    )
+    assert len(te2) == 7

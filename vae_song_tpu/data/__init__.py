@@ -91,8 +91,10 @@ def load_dataset(dataset_name: str, **kwargs):
         category = kwargs.get("category")
         num_points = kwargs.get("num_points", 2048)
         if fake:
-            xtr, ytr = shapenet.fake_point_clouds(256, num_points, seed=seed or 0)
-            xte, yte = shapenet.fake_point_clouds(64, num_points, seed=(seed or 0) + 1)
+            n_train = int(kwargs.get("num_samples", 256))
+            n_test = int(kwargs.get("num_test_samples", max(1, n_train // 4)))
+            xtr, ytr = shapenet.fake_point_clouds(n_train, num_points, seed=seed or 0)
+            xte, yte = shapenet.fake_point_clouds(n_test, num_points, seed=(seed or 0) + 1)
         else:
             xtr, ytr = shapenet.ShapeNetPointClouds(
                 root, "train", category, num_points, seed=seed or 0
