@@ -30,6 +30,21 @@ def _mha_in_proj_init(key, shape, dtype=jnp.float32):
     return jrandom.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+def _dense_default_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
+    """Default-on gate for the dense whole-row Pallas kernel
+    (ops/denseattn.py): TPU backend, dense-eligible shapes, and no
+    explicit opt-out via VST_DISABLE_DENSE_ATTN=1."""
+    import os
+
+    if jax.default_backend() != "tpu":
+        return False
+    if os.environ.get("VST_DISABLE_DENSE_ATTN"):
+        return False
+    from vae_song_tpu.ops.denseattn import dense_ok
+
+    return dense_ok(n_q, n_kv, head_dim)
+
+
 def _flash_ok(q, k) -> bool:
     if jax.default_backend() != "tpu":
         return False
@@ -115,21 +130,25 @@ def sequence_sharded_attention(q, k, v, scale, axis_name: str,
 class MultiHeadAttention(nn.Module):
     """torch-style MHA: q/k/v/out projections + scaled dot-product.
 
-    Default path is XLA attention with bf16 matmuls + f32 softmax.
-    `use_flash=True` switches to the Pallas flash kernel with TUNED
-    block sizes (_pick_block): measured on v5e at the set models'
-    shapes (B=64, N=2048, H=4, D=64), tuned flash is ~1.7x faster than
-    XLA attention (10.8 vs 19.2 ms fwd per layer; full SetVAE step
-    203.9 -> 136.4 ms f32, 192.8 -> 118.1 ms bf16). With the kernel's
-    DEFAULT blocks flash is slower (40 ms fwd) — block tuning is the
-    whole game; round 1 measured untuned flash at 572 ms/full-step and
-    wrongly concluded XLA wins. For dense_ok shapes (N <= 2048,
-    lane-aligned) the whole-row dense kernel (ops/denseattn.py) is
-    picked instead — another 24% per attention, and it partitions under
-    GSPMD (custom_partitioning: batch/heads shard, N/D replicate), so
-    it composes with tensor parallelism. The tiled flash fallback does
-    NOT auto-partition — parallel/tp.py rejects TP models whose shapes
-    would route to it.
+    Path selection on TPU (in order):
+      1. dense whole-row Pallas kernel (ops/denseattn.py) — the DEFAULT
+         for dense_ok shapes (N <= 2048 lane-aligned, n_q == n_kv, no
+         attention dropout, no seq_axis). Never spills [B, H, N, N]
+         scores to HBM; partitions under GSPMD (custom_partitioning:
+         batch/heads shard, N/D replicate) so it composes with tensor
+         parallelism. Measured at the set models' shapes (B=64, N=2048,
+         H=4, D=64): full SetVAE step 200 -> 122.5 ms f32, 89 ms bf16.
+         Opt out with VST_DISABLE_DENSE_ATTN=1 (numerics A/B: the MXU
+         rounding differs from XLA attention at the ~1e-3 level).
+      2. tuned-block tiled flash kernel (use_flash=True opt-in) for
+         longer/unequal sequences — block tuning is the whole game
+         (q=kv=1024 is 10.8 ms fwd vs 40 ms with default blocks; round
+         1 measured untuned flash and wrongly concluded XLA wins). Does
+         NOT auto-partition — parallel/tp.py rejects TP models whose
+         shapes would route here.
+      3. XLA einsum attention (bf16 matmuls + f32 softmax) — CPU, and
+         every remaining case (dropout, cross-attention to the length-1
+         memory token, ...).
     """
 
     num_heads: int
@@ -200,15 +219,19 @@ class MultiHeadAttention(nn.Module):
                 weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ).astype(q.dtype)
-        elif self.use_flash and _flash_ok(q, k):
-            from vae_song_tpu.ops.denseattn import dense_attention, dense_ok
+        elif _dense_default_ok(n_q, n_kv, d):
+            from vae_song_tpu.ops.denseattn import dense_attention
 
-            if dense_ok(n_q, n_kv, d):
-                # whole-row kernel: at N<=2048 the [N, N] scores fit in
-                # VMEM, beating the tiled flash kernel (see denseattn.py)
-                out = dense_attention(q, k, v, scale)
-            else:
-                out = _flash_attention(q, k, v, scale)
+            # DEFAULT TPU path for eligible shapes, f32 included: the
+            # whole-row kernel never spills [B, H, N, N] scores to HBM
+            # (f32 SetVAE step 200 -> 118 ms vs XLA attention) and it
+            # partitions under GSPMD, so no use_flash opt-in is needed.
+            # Set VST_DISABLE_DENSE_ATTN=1 to force XLA attention for
+            # numerics A/B (the kernel's MXU rounding differs from
+            # XLA's at the ~1e-3 level on f32 inputs).
+            out = dense_attention(q, k, v, scale)
+        elif self.use_flash and _flash_ok(q, k):
+            out = _flash_attention(q, k, v, scale)
         else:
             out = _xla_attention(q, k, v, scale)
 
