@@ -125,3 +125,19 @@ def test_shard_map_dp_context():
 )
 def test_dense_ok_predicate(n_q, n_kv, d, ok):
     assert dense_ok(n_q, n_kv, d) is ok
+
+
+def test_dense_default_gate(monkeypatch):
+    """_dense_default_ok: on by default for eligible shapes on TPU,
+    off on CPU, off under VST_DISABLE_DENSE_ATTN=1."""
+    from vae_song_tpu.ops import attention as attn
+
+    # CPU backend (the test environment): never default-on
+    assert attn._dense_default_ok(2048, 2048, 64) is False
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert attn._dense_default_ok(2048, 2048, 64) is True
+    assert attn._dense_default_ok(2048, 1, 64) is False      # cross-attn
+    assert attn._dense_default_ok(4096, 4096, 64) is False   # too long
+    monkeypatch.setenv("VST_DISABLE_DENSE_ATTN", "1")
+    assert attn._dense_default_ok(2048, 2048, 64) is False   # opt-out
