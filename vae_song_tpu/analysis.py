@@ -21,6 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from vae_song_tpu.ops import losses
+
 DEFAULT_EMPTY_CELL_FILL_VALUE = -5.0  # lipschitz.py:19
 
 
@@ -41,7 +43,7 @@ def _quantile_ratios(y1, y2, x1, x2, quantile=0.05, eps=1e-3):
 
 def per_cell_kl(mu, log_var, labels, num_cells, fill=DEFAULT_EMPTY_CELL_FILL_VALUE):
     """Mean per-sample KL per cell (lipschitz.py:61-63). One segment op."""
-    kl = -0.5 * jnp.sum(1.0 + log_var - mu**2 - jnp.exp(log_var), axis=1)
+    kl = losses.kl_per_sample(mu, log_var)
     sums = jax.ops.segment_sum(kl, labels, num_segments=num_cells)
     counts = jax.ops.segment_sum(jnp.ones_like(kl), labels, num_segments=num_cells)
     means = jnp.where(counts > 0, sums / jnp.maximum(counts, 1), fill)
@@ -137,7 +139,7 @@ def z_grid_kl(decode_fn, encode_fn, z_samples):
     c, n, zdim = z_samples.shape
     x_rec = decode_fn(z_samples.reshape(c * n, zdim))
     mu_re, log_var_re = encode_fn(x_rec)
-    kl = -0.5 * jnp.sum(1.0 + log_var_re - mu_re**2 - jnp.exp(log_var_re), axis=1)
+    kl = losses.kl_per_sample(mu_re, log_var_re)
     return kl.reshape(c, n).mean(axis=1)
 
 
@@ -160,9 +162,7 @@ def data_based_z_samples(mu, log_var, key, num_samples=5000):
 
 def data_based_kl(mu_subset, log_var_subset):
     """Mean per-sample KL over the data-based subset (lipschitz.py:219-220)."""
-    kl = -0.5 * jnp.sum(
-        1.0 + log_var_subset - mu_subset**2 - jnp.exp(log_var_subset), axis=1
-    )
+    kl = losses.kl_per_sample(mu_subset, log_var_subset)
     return float(kl.mean())
 
 

@@ -101,8 +101,10 @@ def train_model(model, train_ds, args, grad_clip_cfg, experiment_logger=None,
         grad_mode="composite", kl_adaptive=kl_adaptive,
     )
     state, last_metrics = fit(state, jnp.asarray(train_ds.X), alphas, rng)
+    # kl_adaptive uses the LAST BATCH's KL (model.py:614 semantics),
+    # which scan.py exposes as last_raw_kl; "raw_kl" is the epoch mean
     wu_alpha = float(alphas[-1]) if alphas is not None else float(
-        jax.nn.sigmoid(5.0 - last_metrics["raw_kl"])
+        jax.nn.sigmoid(5.0 - last_metrics.get("last_raw_kl", last_metrics["raw_kl"]))
     )
     return state, wu_alpha
 

@@ -10,8 +10,10 @@ nn.TransformerDecoderLayer defaults used by the reference
 batch_first, dropout (0.0 in all shipped configs — we run dropout-free,
 matching the configs).
 
-Attention itself is XLA's fused dot-product attention over the N=2048
-point axis — large, static, MXU-friendly matmuls.
+Attention over the N=2048 point axis routes through
+ops/attention.MultiHeadAttention: the dense whole-row Pallas kernel by
+default on TPU (ops/denseattn.py), tiled flash via `use_flash` for
+longer sequences, XLA einsum attention elsewhere.
 """
 
 from typing import Tuple

@@ -38,7 +38,7 @@ def _dense_default_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
 
     if jax.default_backend() != "tpu":
         return False
-    if os.environ.get("VST_DISABLE_DENSE_ATTN"):
+    if os.environ.get("VST_DISABLE_DENSE_ATTN", "").lower() not in ("", "0", "false"):
         return False
     from vae_song_tpu.ops.denseattn import dense_ok
 
@@ -204,9 +204,11 @@ class MultiHeadAttention(nn.Module):
                 q, k, v, scale, self.seq_axis,
                 compute_dtype=self.compute_dtype or jnp.bfloat16,
             )
-        elif self.dropout_rate > 0.0:
+        elif self.dropout_rate > 0.0 and train:
             # torch MHA drops attention WEIGHTS — requires materialized
-            # scores, so this path is XLA-only (flash keeps them in VMEM)
+            # scores, so this path is XLA-only (flash keeps them in
+            # VMEM). At eval dropout is identity, so train=False falls
+            # through to the kernel paths below.
             logits = jnp.einsum(
                 "bqhd,bkhd->bhqk",
                 q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),

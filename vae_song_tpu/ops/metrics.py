@@ -39,7 +39,9 @@ def calc_au_from_means(means, delta: float = 0.01):
 
 def kld(mu, log_var):
     """Batch-mean latent-sum KL scalar (utils.py:140-141)."""
-    return (-0.5 * (1.0 + log_var - mu**2 - jnp.exp(log_var))).mean(axis=0).sum()
+    from vae_song_tpu.ops.losses import kl_divergence
+
+    return kl_divergence(mu, log_var)
 
 
 def calc_mi(key, mu, logvar):

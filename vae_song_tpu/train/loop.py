@@ -265,6 +265,12 @@ def train_and_test(
             )
         )
 
+        # test set smaller than one batch: a lax.scan over 0 items means
+        # .mean() of empty -> NaN in every logged eval metric; fall back
+        # to the dispatched eval loop, which reports 0.0 like drop_last
+        if nb_test == 0:
+            test_X_batches = None
+
         @jax.jit
         def eval_epoch_fit(state, xb, wu_alpha, rng):
             keys = jax.random.split(rng, xb.shape[0])
@@ -393,7 +399,7 @@ def train_and_test(
         last_epoch = epoch == epochs - 1
         ev = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
         n_test_batches = num_batches(test_ds, batch_size)
-        if eval_epoch_fit is not None:
+        if eval_epoch_fit is not None and test_X_batches is not None:
             em = jax.device_get(eval_epoch_fit(state, test_X_batches, wu_dev, ev_key))
             eval_means = {k: float(v) for k, v in em.items()}
             if last_epoch:
