@@ -25,7 +25,7 @@ import sys
 import time
 
 BATCH = 256
-BENCH_STEPS = 30
+BENCH_STEPS = 48
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
 REFERENCE_PATH = "/root/reference"
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. MFU below is
@@ -112,14 +112,16 @@ def measure_tpu_throughput():
     # on device) — this is the framework's real MNIST training route
     from vae_song_tpu.train.steps import make_multistep_train_step
 
-    K = 15  # divides BENCH_STEPS: 2 dispatches per trial (K=6 measured
-    # 77k samples/sec, K=15 136k; compile ~2 min, amortized by training)
+    K = 24  # divides BENCH_STEPS: 2 dispatches per trial (K=6 measured
+    # 77k samples/sec, K=15 88-136k; per-dispatch relay tax ~15 ms is
+    # the bottleneck, so throughput ~ 1/(1.1ms + 15ms/K); compile is
+    # ~7 s/unrolled step, amortized by training runs)
     n_disp = BENCH_STEPS // K
     mstep = make_multistep_train_step(model, tx, K)
-    X = jnp.asarray(rng.uniform(size=(BATCH * 32, 28, 28, 1)).astype(np.float32))
+    X = jnp.asarray(rng.uniform(size=(BATCH * 64, 28, 28, 1)).astype(np.float32))
     params2, bs2 = init_model(model, x_host, seed=0)
     state = TrainState.create(params2, bs2, tx)
-    perm = rng.permutation(BATCH * 32)[: BENCH_STEPS * BATCH].astype(np.int32)
+    perm = rng.permutation(BATCH * 64)[: BENCH_STEPS * BATCH].astype(np.int32)
     idx = jnp.asarray(perm.reshape(n_disp, K, BATCH))
     mk = jax.random.split(jax.random.PRNGKey(1), (5 + 1) * n_disp * K)
     mkeys = mk.reshape((5 + 1, n_disp, K) + mk.shape[1:])

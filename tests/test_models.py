@@ -175,3 +175,40 @@ def test_setvae_mixed_precision_trains(key):
     np.testing.assert_allclose(losses[(True, False)], losses[(False, False)], rtol=1e-2)
     # CPU flash fallback is exactly the XLA bf16 path
     np.testing.assert_allclose(losses[(True, True)], losses[(True, False)], rtol=1e-6)
+
+
+def test_flexible_mixed_precision_trains(key):
+    """mixed_precision on the conv/MLP families: bf16 trunk compute,
+    f32 params, f32 (mu, logvar) heads and recon outputs. One train
+    step stays finite and within ~1% of the f32 loss; staged LRVAE
+    gradients compose with the bf16 trunk."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from vae_song_tpu.models import LRVAE, VanillaVAE
+    from vae_song_tpu.train.loop import init_model
+    from vae_song_tpu.train.state import TrainState, make_optimizer
+    from vae_song_tpu.train.steps import make_train_step
+
+    x = np.random.default_rng(0).uniform(size=(4, 28, 28, 1)).astype(np.float32)
+    for cls, kw in ((VanillaVAE, {}), (LRVAE, {"alpha": 0.1})):
+        losses = {}
+        for mp_flag in (False, True):
+            m = cls.for_dataset(
+                "mnist", hidden_channels=(2, 2), encoder_type="conv",
+                decoder_type="conv", beta=0.01, mixed_precision=mp_flag, **kw,
+            )
+            params, bs = init_model(m, x, seed=0)
+            assert all(l.dtype == jnp.float32 for l in jax.tree.leaves(params))
+            tx = make_optimizer(lr=1e-3)
+            state = TrainState.create(params, bs, tx)
+            step = make_train_step(m, tx)
+            state, metrics = step(state, jnp.asarray(x), jnp.float32(0.1), key)
+            losses[mp_flag] = float(metrics["loss"])
+            assert np.isfinite(losses[mp_flag])
+            # mu/logvar head and recon stay f32 under mixed precision
+            outs = m.apply({"params": state.params, "batch_stats": state.batch_stats},
+                           jnp.asarray(x), train=False, rngs={"sampling": key})
+            assert outs[0].dtype == jnp.float32  # recon
+            assert outs[1].dtype == jnp.float32  # mu
+        np.testing.assert_allclose(losses[True], losses[False], rtol=2e-2)

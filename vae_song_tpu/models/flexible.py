@@ -79,17 +79,19 @@ class MLPEncoder1D(nn.Module):
     hidden_channels: Tuple[int, ...]
     out_features: int
     residual: bool = False
+    compute_dtype: object = None  # bf16 trunk; the final (mu, logvar)
+    # block stays f32 so the reparameterization/KL see full precision
 
     @nn.compact
     def __call__(self, x, train: bool):
         for ch in self.hidden_channels:
             if self.residual:
-                x = ResidualMLPBlock(ch)(x, train)
+                x = ResidualMLPBlock(ch, dtype=self.compute_dtype)(x, train)
             else:
-                x = MLPBlock(ch)(x, train)
+                x = MLPBlock(ch, dtype=self.compute_dtype)(x, train)
         if self.residual:
-            return ResidualMLPBlock(self.out_features)(x, train)
-        return MLPBlock(self.out_features)(x, train)
+            return ResidualMLPBlock(self.out_features, dtype=jnp.float32)(x, train)
+        return MLPBlock(self.out_features, dtype=jnp.float32)(x, train)
 
 
 class MLPEncoder2D(nn.Module):
@@ -97,14 +99,15 @@ class MLPEncoder2D(nn.Module):
 
     hidden_channels: Tuple[int, ...]
     out_features: int
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         x = x.reshape(x.shape[0], -1)
         for ch in self.hidden_channels:
-            x = MLPBlock(ch)(x, train)
-        x = MLPBlock(self.out_features)(x, train)
-        return Dense(self.out_features)(x)
+            x = MLPBlock(ch, dtype=self.compute_dtype)(x, train)
+        x = MLPBlock(self.out_features, dtype=self.compute_dtype)(x, train)
+        return Dense(self.out_features, dtype=jnp.float32)(x)
 
 
 class ConvEncoder2D(nn.Module):
@@ -112,15 +115,16 @@ class ConvEncoder2D(nn.Module):
 
     hidden_channels: Tuple[int, ...]
     out_features: int
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
         for ch in self.hidden_channels:
-            x = ResidualConvBlock(ch, stride=2)(x, train)
-            x = ResidualConvBlock(ch, stride=1)(x, train)
+            x = ResidualConvBlock(ch, stride=2, dtype=self.compute_dtype)(x, train)
+            x = ResidualConvBlock(ch, stride=1, dtype=self.compute_dtype)(x, train)
         x = x.reshape(x.shape[0], -1)
-        x = MLPBlock(self.out_features)(x, train)
-        return Dense(self.out_features)(x)
+        x = MLPBlock(self.out_features, dtype=self.compute_dtype)(x, train)
+        return Dense(self.out_features, dtype=jnp.float32)(x)
 
 
 # ---------------------------------------------------------------------------
@@ -133,18 +137,19 @@ class MLPDecoder1D(nn.Module):
     hidden_channels: Tuple[int, ...]
     out_features: int
     residual: bool = False
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, z, train: bool):
         x = z
         for ch in self.hidden_channels:
             if self.residual:
-                x = ResidualMLPBlock(ch)(x, train)
+                x = ResidualMLPBlock(ch, dtype=self.compute_dtype)(x, train)
             else:
-                x = MLPBlock(ch)(x, train)
+                x = MLPBlock(ch, dtype=self.compute_dtype)(x, train)
         if self.residual:
-            return ResidualMLPBlock(self.out_features)(x, train)
-        return Dense(self.out_features)(x)
+            return ResidualMLPBlock(self.out_features, dtype=jnp.float32)(x, train)
+        return Dense(self.out_features, dtype=jnp.float32)(x)
 
 
 class MLPDecoder2D(nn.Module):
@@ -153,15 +158,16 @@ class MLPDecoder2D(nn.Module):
 
     in_channel: int
     input_dim: int
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, z, train: bool):
         d_half = (self.input_dim**2) * self.in_channel // 2
         d_full = (self.input_dim**2) * self.in_channel
-        x = MLPBlock(d_half)(z, train)
-        x = MLPBlock(d_half)(x, train)
-        x = MLPBlock(d_full)(x, train)
-        x = Dense(d_full)(x)
+        x = MLPBlock(d_half, dtype=self.compute_dtype)(z, train)
+        x = MLPBlock(d_half, dtype=self.compute_dtype)(x, train)
+        x = MLPBlock(d_full, dtype=self.compute_dtype)(x, train)
+        x = Dense(d_full, dtype=jnp.float32)(x)
         return x.reshape(x.shape[0], self.input_dim, self.input_dim, self.in_channel)
 
 
@@ -175,6 +181,7 @@ class UpConv(nn.Module):
 
     features: int
     output_padding: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x):
@@ -187,6 +194,7 @@ class UpConv(nn.Module):
             kernel_size=(3, 3),
             strides=(2, 2),
             padding="SAME",
+            dtype=self.dtype,
             kernel_init=variance_scaling(1.0 / 3.0, "fan_out", "uniform"),
             bias_init=torch_bias_init(fan),
         )(x)
@@ -205,19 +213,20 @@ class ConvDecoder2D(nn.Module):
     hidden_channels: Tuple[int, ...]
     fc_dim: int
     transpose_padding: Tuple[int, ...]
+    compute_dtype: object = None
 
     @nn.compact
     def __call__(self, z, train: bool):
         h0 = self.hidden_channels[0]
-        x = MLPBlock(h0 * self.fc_dim**2)(z, train)
+        x = MLPBlock(h0 * self.fc_dim**2, dtype=self.compute_dtype)(z, train)
         x = x.reshape(x.shape[0], self.fc_dim, self.fc_dim, h0)
-        x = ResidualConvBlock(h0, stride=1)(x, train)
+        x = ResidualConvBlock(h0, stride=1, dtype=self.compute_dtype)(x, train)
         for ch, pad in zip(self.hidden_channels[1:], self.transpose_padding[:-1]):
-            x = UpConv(ch, pad)(x)
+            x = UpConv(ch, pad, dtype=self.compute_dtype)(x)
             x = BatchNorm()(x, train)
             x = lrelu(x)
         last = self.hidden_channels[-1]
-        x = UpConv(last, self.transpose_padding[-1])(x)
+        x = UpConv(last, self.transpose_padding[-1], dtype=self.compute_dtype)(x)
         x = BatchNorm()(x, train)
         x = lrelu(x)
         # final size-preserving ConvTranspose(k3, s1, p1) == size-preserving
@@ -230,6 +239,7 @@ class ConvDecoder2D(nn.Module):
             kernel_size=(3, 3),
             strides=(1, 1),
             padding=[(1, 1)] * 2,
+            dtype=jnp.float32,  # reconstruction output always f32
             kernel_init=variance_scaling(1.0 / 3.0, "fan_out", "uniform"),
             bias_init=torch_bias_init(self.in_channel * 9),
         )(x)
@@ -264,6 +274,8 @@ class FlexibleVAE(nn.Module):
     residual_connection: bool = False
     fixed_var: float | bool = False
     data_type: str = "2d"
+    mixed_precision: bool = False  # bf16 trunk compute; f32 params,
+    # BN statistics, (mu, logvar) heads and reconstruction outputs
 
     # which gradient path the trainer uses; LRVAE overrides to 'staged'
     grad_mode: str = "composite"
@@ -276,15 +288,20 @@ class FlexibleVAE(nn.Module):
 
     def setup(self):
         fc_dim, tp = transpose_padding_schedule(self.input_dim, len(self.hidden_channels))
+        cdt = jnp.bfloat16 if self.mixed_precision else None
         if self.data_type == "1d" and self.encoder_type == "mlp":
             self.encoder = MLPEncoder1D(
                 self.hidden_channels, self.latent_channel * 2,
-                residual=self.residual_connection,
+                residual=self.residual_connection, compute_dtype=cdt,
             )
         elif self.encoder_type == "mlp":
-            self.encoder = MLPEncoder2D(self.hidden_channels, self.latent_channel * 2)
+            self.encoder = MLPEncoder2D(
+                self.hidden_channels, self.latent_channel * 2, compute_dtype=cdt
+            )
         elif self.encoder_type == "conv":
-            self.encoder = ConvEncoder2D(self.hidden_channels, self.latent_channel * 2)
+            self.encoder = ConvEncoder2D(
+                self.hidden_channels, self.latent_channel * 2, compute_dtype=cdt
+            )
         else:
             raise ValueError(f"Invalid encoder type: {self.data_type} {self.encoder_type}")
 
@@ -292,11 +309,16 @@ class FlexibleVAE(nn.Module):
         if self.data_type == "1d" and self.decoder_type == "mlp":
             self.decoder = MLPDecoder1D(
                 rev, self.in_channel, residual=self.residual_connection,
+                compute_dtype=cdt,
             )
         elif self.decoder_type == "mlp":
-            self.decoder = MLPDecoder2D(self.in_channel, self.input_dim)
+            self.decoder = MLPDecoder2D(
+                self.in_channel, self.input_dim, compute_dtype=cdt
+            )
         elif self.decoder_type == "conv":
-            self.decoder = ConvDecoder2D(self.in_channel, rev, fc_dim, tuple(tp))
+            self.decoder = ConvDecoder2D(
+                self.in_channel, rev, fc_dim, tuple(tp), compute_dtype=cdt
+            )
         else:
             raise ValueError(f"Invalid decoder type: {self.data_type} {self.decoder_type}")
 

@@ -43,6 +43,7 @@ def build_model(
             decoder_type=mp.get("decoder_type", "mlp"),
             fixed_var=mp.get("fixed_var", False),
             residual_connection=mp.get("residual_connection", False),
+            mixed_precision=mp.get("mixed_precision", False),
         )
     if exp_type == "nae":
         return NaiveAE.for_dataset(
@@ -50,6 +51,7 @@ def build_model(
             hidden_channels=hchans,
             encoder_type=mp.get("encoder_type", "conv"),
             decoder_type=mp.get("decoder_type", "mlp"),
+            mixed_precision=mp.get("mixed_precision", False),
         )
     if exp_type == "lrvae":
         return LRVAE.for_dataset(
@@ -62,6 +64,7 @@ def build_model(
             encoder_type=mp.get("encoder_type", "conv"),
             decoder_type=mp.get("decoder_type", "mlp"),
             residual_connection=mp.get("residual_connection", False),
+            mixed_precision=mp.get("mixed_precision", False),
         )
     if exp_type in ("setvae", "setlrvae"):
         kwargs = dict(

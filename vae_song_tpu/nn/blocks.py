@@ -55,6 +55,7 @@ class Conv(nn.Module):
     kernel_size: int = 3
     stride: int = 1
     padding: int = 1
+    dtype: object = None  # compute dtype; params stay f32
 
     @nn.compact
     def __call__(self, x):
@@ -64,6 +65,7 @@ class Conv(nn.Module):
             kernel_size=(self.kernel_size, self.kernel_size),
             strides=(self.stride, self.stride),
             padding=[(self.padding, self.padding)] * 2,
+            dtype=self.dtype,
             kernel_init=torch_linear_kernel_init,
             bias_init=torch_bias_init(fan_in),
         )(x)
@@ -85,10 +87,11 @@ class MLPBlock(nn.Module):
     """Linear + BN + LeakyReLU (model.py:198-202 pattern)."""
 
     features: int
+    dtype: object = None  # bf16: matmul + activations; BN stats stay f32
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Dense(self.features)(x)
+        x = Dense(self.features, dtype=self.dtype)(x)
         x = BatchNorm()(x, train)
         return lrelu(x)
 
@@ -97,18 +100,19 @@ class ResidualMLPBlock(nn.Module):
     """Linear analogue of the residual conv block (module.py:63-93)."""
 
     features: int
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        out = Dense(self.features)(x)
+        out = Dense(self.features, dtype=self.dtype)(x)
         out = BatchNorm()(out, train)
         out = lrelu(out)
-        out = Dense(self.features)(out)
+        out = Dense(self.features, dtype=self.dtype)(out)
         out = BatchNorm()(out, train)
         if x.shape[-1] == self.features:
             identity = x
         else:
-            identity = Dense(self.features)(x)
+            identity = Dense(self.features, dtype=self.dtype)(x)
             identity = BatchNorm()(identity, train)
         return lrelu(out + identity)
 
@@ -119,18 +123,19 @@ class ResidualConvBlock(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        out = Conv(self.features, 3, self.stride, 1)(x)
+        out = Conv(self.features, 3, self.stride, 1, dtype=self.dtype)(x)
         out = BatchNorm()(out, train)
         out = lrelu(out)
-        out = Conv(self.features, 3, 1, 1)(out)
+        out = Conv(self.features, 3, 1, 1, dtype=self.dtype)(out)
         out = BatchNorm()(out, train)
         if self.stride == 1 and x.shape[-1] == self.features:
             identity = x
         else:
-            identity = Conv(self.features, 1, self.stride, 0)(x)
+            identity = Conv(self.features, 1, self.stride, 0, dtype=self.dtype)(x)
             identity = BatchNorm()(identity, train)
         return lrelu(out + identity)
 
@@ -140,13 +145,14 @@ class PlainConvolution(nn.Module):
 
     features: int
     stride: int = 1
+    dtype: object = None
 
     @nn.compact
     def __call__(self, x, train: bool):
-        x = Conv(self.features, 3, self.stride, 1)(x)
+        x = Conv(self.features, 3, self.stride, 1, dtype=self.dtype)(x)
         x = BatchNorm()(x, train)
         x = lrelu(x)
-        x = Conv(self.features, 3, 1, 1)(x)
+        x = Conv(self.features, 3, 1, 1, dtype=self.dtype)(x)
         x = BatchNorm()(x, train)
         return lrelu(x)
 
