@@ -183,13 +183,19 @@ def measure_setvae_step(mixed_precision=False, use_flash=False):
         # default-path step
         import os as _os
 
+        _prev = _os.environ.get("VST_DISABLE_DENSE_ATTN")
         _os.environ["VST_DISABLE_DENSE_ATTN"] = "1"
         try:
             from vae_song_tpu.train.steps import make_train_step as _mts
 
             _, flops = _aot(_mts(model, tx), state, x, zero, keys[-1])
         finally:
-            del _os.environ["VST_DISABLE_DENSE_ATTN"]
+            # restore, don't delete: the user may have set the documented
+            # numerics A/B opt-out deliberately for the timed step
+            if _prev is None:
+                del _os.environ["VST_DISABLE_DENSE_ATTN"]
+            else:
+                _os.environ["VST_DISABLE_DENSE_ATTN"] = _prev
     state, m = step(state, x, zero, keys[-1])
     _ = float(m["loss"])
     log(f"setvae compile+first step: {time.time()-t0:.1f}s")

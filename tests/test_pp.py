@@ -66,7 +66,9 @@ def test_pp_grads_match_scan():
     want_loss, want_grads = jax.value_and_grad(ref_loss)(params)
 
     mesh = make_pp_mesh(4)
-    tx = optax.sgd(0.0)  # lr 0: isolates the gradient comparison
+    # sgd(1.0): new_params = params - grads, so params - new_params IS
+    # the pipelined gradient — a direct per-leaf gradient comparison
+    tx = optax.sgd(1.0)
     step = make_pp_train_step(_block_apply, _loss, tx, mesh, N_LAYERS,
                               n_micro=4, example_params=params)
     opt_state = tx.init(params)
@@ -74,9 +76,10 @@ def test_pp_grads_match_scan():
     new_params, _, loss = step(p_sh, o_sh, x, target)
 
     np.testing.assert_allclose(float(loss), float(want_loss), rtol=1e-5)
-    # lr=0 SGD: params unchanged => the step ran without corrupting state
-    for a, b in zip(jax.tree.leaves(new_params), jax.tree.leaves(params)):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    got_grads = jax.tree.map(lambda p, n: p - n, params, new_params)
+    for a, b in zip(jax.tree.leaves(got_grads), jax.tree.leaves(want_grads)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
 
 
 def test_pp_train_step_matches_single_device():

@@ -167,11 +167,14 @@ def test_tp_dp_step_runs(key):
     assert "model" in str(q.sharding.spec)
 
 
-def test_tp_rejects_flash_attention_when_dense_ineligible():
+def test_tp_rejects_flash_attention_when_dense_ineligible(monkeypatch):
     """GSPMD TP cannot partition the tiled flash call; a use_flash model
     whose self-attention shapes don't qualify for the partitionable
-    dense kernel (ops/denseattn.py) must fail loudly at construction."""
+    dense kernel (ops/denseattn.py) must fail loudly at construction.
+    The gate only applies on the TPU backend (off-TPU the kernels are
+    bypassed), so simulate it."""
     import pytest
+    import vae_song_tpu.parallel.tp as tp_mod
     from vae_song_tpu.train.state import make_optimizer
 
     mesh = make_mesh(n_data=4, n_model=2)
@@ -181,6 +184,30 @@ def test_tp_rejects_flash_attention_when_dense_ineligible():
     params, bs = init_model(m, pts, seed=0)
     tx = make_optimizer(lr=1e-3)
     state = TrainState.create(params, bs, tx)
+    # patch AFTER init (a fake-TPU backend during init would mis-route
+    # the attention tracing to Pallas kernels the CPU can't lower)
+    monkeypatch.setattr(tp_mod.jax, "default_backend", lambda: "tpu")
+    with pytest.raises(ValueError, match="use_flash"):
+        make_tp_dp_train_step(m, tx, mesh, state)
+
+
+def test_tp_rejects_flash_when_env_optout_set(monkeypatch):
+    """With VST_DISABLE_DENSE_ATTN=1 an otherwise dense-eligible
+    use_flash model would route to the unpartitionable tiled flash
+    kernel — the TP gate must reject it too (ADVICE r2)."""
+    import pytest
+    import vae_song_tpu.parallel.tp as tp_mod
+    from vae_song_tpu.train.state import make_optimizer
+
+    mesh = make_mesh(n_data=4, n_model=2)
+    m = SetLRVAE(latent_channel=8, num_points=128, d_model=128, num_heads=2,
+                 ff_dim=32, alpha=0.1, beta=0.1, use_flash=True)
+    pts = np.random.default_rng(0).normal(size=(8, 128, 3)).astype(np.float32)
+    params, bs = init_model(m, pts, seed=0)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(params, bs, tx)
+    monkeypatch.setattr(tp_mod.jax, "default_backend", lambda: "tpu")
+    monkeypatch.setenv("VST_DISABLE_DENSE_ATTN", "1")
     with pytest.raises(ValueError, match="use_flash"):
         make_tp_dp_train_step(m, tx, mesh, state)
 

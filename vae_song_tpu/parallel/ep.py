@@ -104,7 +104,15 @@ def _expert_ffn(w1, b1, w2, b2, h):
 
 def moe_ffn_dense(params: MoEParams, x, capacity_factor: float = 1.25):
     """Single-device reference evaluation (all experts local).
-    x: [T, D] -> [T, D]. Identical routing/capacity math to the EP path."""
+    x: [T, D] -> [T, D].
+
+    Capacity caveat: capacity derives from the token count PASSED IN
+    (ceil(T/E * cf)), while the EP path applies it per source shard
+    (ceil(T_local/E * cf)). Exact parity with moe_ffn_ep therefore
+    holds when this reference is evaluated per token shard (as
+    tests/test_ep.py does); evaluating it on the full unsharded batch
+    diverges whenever capacity binds, because a global queue drops
+    different tokens than per-shard queues."""
     t, d = x.shape
     e = params.router.shape[1]
     c = _capacity(t, e, capacity_factor)
@@ -201,6 +209,11 @@ def _opt_specs(tx, example_params, n_experts: int):
             return type(node)(*[walk(getattr(node, f)) for f in node._fields])
         if isinstance(node, (tuple, list)):
             return type(node)(walk(c) for c in node)
+        if isinstance(node, dict):
+            # optax states can nest dicts (multi_transform,
+            # inject_hyperparams) — recurse so param-shaped subtrees
+            # inside them still get the expert shardings
+            return {k: walk(v) for k, v in node.items()}
         return jax.tree.map(lambda _: P(), node)
 
     return walk(shapes)

@@ -25,6 +25,7 @@ tests/test_pp.py verifies forward and gradient equality against the
 single-device stacked scan.
 """
 
+import functools
 from typing import Callable
 
 import numpy as np
@@ -34,6 +35,32 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 STAGE_AXIS = "stage"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _replicate_from_psum(z, axis_name):
+    """psum whose TRANSPOSE is identity, not psum.
+
+    Forward: replicate the last stage's (masked) output buffer to every
+    stage. Backward: the downstream loss is computed REDUNDANTLY on all
+    S stages from this replicated value, so each stage already holds the
+    full cotangent of the single logical loss; under check_vma=False the
+    raw psum would transpose to another psum and sum the S identical
+    cotangents — inflating every pipeline gradient by exactly S (caught
+    by tests/test_pp.py::test_pp_grads_match_scan; Adam's scale
+    invariance masked it, SGD/clipping would not)."""
+    return lax.psum(z, axis_name)
+
+
+def _rfp_fwd(z, axis_name):
+    return lax.psum(z, axis_name), None
+
+
+def _rfp_bwd(axis_name, _, ct):
+    return (ct,)
+
+
+_replicate_from_psum.defvjp(_rfp_fwd, _rfp_bwd)
 
 
 def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
@@ -69,10 +96,11 @@ def _pipeline(block_fn, local_params, x_micro, axis_name, n_stages):
         if right:
             state = lax.ppermute(y, axis_name, right)
 
-    # replicate the last stage's buffer to every stage (differentiable:
-    # psum transpose broadcasts cotangents back)
+    # replicate the last stage's buffer to every stage; the custom
+    # transpose counts the redundantly-computed loss's cotangent ONCE
+    # (see _replicate_from_psum)
     mask = (s == n_stages - 1).astype(outs.dtype)
-    return lax.psum(outs * mask, axis_name)
+    return _replicate_from_psum(outs * mask, axis_name)
 
 
 def stack_block_params(init_fn, key, n_layers: int):
@@ -151,6 +179,11 @@ def _opt_specs(tx, example_params, n_layers: int):
             return type(node)(*[walk(getattr(node, f)) for f in node._fields])
         if isinstance(node, (tuple, list)):
             return type(node)(walk(c) for c in node)
+        if isinstance(node, dict):
+            # optax states can nest dicts (multi_transform,
+            # inject_hyperparams) — recurse so param-shaped subtrees
+            # inside them still shard on the stage axis
+            return {k: walk(v) for k, v in node.items()}
         return jax.tree.map(lambda _: P(), node)
 
     return walk(shapes)

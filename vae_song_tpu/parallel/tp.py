@@ -134,6 +134,8 @@ def state_shardings(state: TrainState, mesh: Mesh):
             return type(node)(*[walk(getattr(node, f)) for f in node._fields])
         if isinstance(node, (tuple, list)):
             return type(node)(walk(c) for c in node)
+        if isinstance(node, dict):  # multi_transform/inject_hyperparams
+            return {k: walk(v) for k, v in node.items()}
         return jax.tree.map(lambda _: repl, node)
 
     return TrainState(
@@ -152,12 +154,22 @@ def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
                           L: int = 1):
     """jit train step with GSPMD: batch on 'data', attention/FFN params
     on 'model'; XLA inserts the gradient/activation collectives."""
-    if mesh.shape.get("model", 1) > 1 and getattr(model, "use_flash", False):
-        from vae_song_tpu.ops.denseattn import dense_ok
+    if (
+        mesh.shape.get("model", 1) > 1
+        and getattr(model, "use_flash", False)
+        and jax.default_backend() == "tpu"
+    ):
+        # _dense_default_ok, not dense_ok: it also honors the
+        # VST_DISABLE_DENSE_ATTN env opt-out — with that set, an
+        # otherwise-eligible model would route to the tiled flash
+        # kernel, which does NOT partition under GSPMD. Off-TPU the
+        # kernels are bypassed entirely (XLA attention shards fine),
+        # so only the TPU backend needs the gate.
+        from vae_song_tpu.ops.attention import _dense_default_ok
 
         n = getattr(model, "num_points", 0)
         head_dim = model.d_model // model.num_heads
-        if not dense_ok(n, n, head_dim):
+        if not _dense_default_ok(n, n, head_dim):
             # the tiled flash kernel is an opaque custom call that GSPMD
             # cannot partition; only the dense whole-row kernel carries
             # a custom_partitioning rule (ops/denseattn.py), and the

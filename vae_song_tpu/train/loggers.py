@@ -26,16 +26,23 @@ def log_unified_dict(path, dict_elements, logfilename="unified_log.csv"):
 
 
 class TensorBoardWriter:
-    """Thin guarded wrapper over torch.utils.tensorboard (optional dep)."""
+    """TensorBoard scalar logging via the NATIVE tfevents writer
+    (train/tfevents.py) — no torch/tensorflow dependency. The events
+    files parse with TensorBoard's own event_file_loader
+    (tests/test_tfevents.py). If file creation itself fails (read-only
+    dir, ...), a warning is printed once and logging no-ops."""
 
     def __init__(self, log_dir):
         self._writer = None
         try:
-            from torch.utils.tensorboard import SummaryWriter
+            from vae_song_tpu.train.tfevents import EventFileWriter
 
-            self._writer = SummaryWriter(log_dir=log_dir)
-        except Exception:
-            pass
+            self._writer = EventFileWriter(log_dir)
+        except Exception as e:
+            import sys
+
+            print(f"warning: TensorBoard event file unavailable ({e}); "
+                  f"scalar logging to {log_dir} disabled", file=sys.stderr)
 
     def add_scalar(self, tag, value, step):
         if self._writer is not None:
