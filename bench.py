@@ -109,19 +109,23 @@ def measure_tpu_throughput():
 
     # the multi-step path train_and_test actually uses for HBM-resident
     # datasets (K unrolled optimizer steps per dispatch, batches gathered
-    # on device) — this is the framework's real MNIST training route
-    from vae_song_tpu.train.steps import make_multistep_train_step
+    # on device) — benched at the IDENTICAL configuration the trainer
+    # selects for the MNIST config: 60000-sample dataset, 234
+    # steps/epoch, K = pick_multistep_k(234) (train/loop.py picks the
+    # same K through the same function)
+    from vae_song_tpu.train.steps import make_multistep_train_step, pick_multistep_k
 
-    K = 24  # divides BENCH_STEPS: 2 dispatches per trial (K=6 measured
-    # 77k samples/sec, K=15 88-136k; per-dispatch relay tax ~15 ms is
-    # the bottleneck, so throughput ~ 1/(1.1ms + 15ms/K); compile is
-    # ~7 s/unrolled step, amortized by training runs)
-    n_disp = BENCH_STEPS // K
+    n_train = 60_000
+    steps_per_epoch = n_train // BATCH            # 234, as in the MNIST config
+    K = pick_multistep_k(steps_per_epoch, is_set=False)
+    bench_steps = (BENCH_STEPS // K + 1) * K       # whole dispatches
+    n_disp = bench_steps // K
+    log(f"multistep: trainer-selected K={K} for {steps_per_epoch} steps/epoch")
     mstep = make_multistep_train_step(model, tx, K)
-    X = jnp.asarray(rng.uniform(size=(BATCH * 64, 28, 28, 1)).astype(np.float32))
+    X = jnp.asarray(rng.uniform(size=(n_train, 28, 28, 1)).astype(np.float32))
     params2, bs2 = init_model(model, x_host, seed=0)
     state = TrainState.create(params2, bs2, tx)
-    perm = rng.permutation(BATCH * 64)[: BENCH_STEPS * BATCH].astype(np.int32)
+    perm = rng.permutation(n_train)[: bench_steps * BATCH].astype(np.int32)
     idx = jnp.asarray(perm.reshape(n_disp, K, BATCH))
     mk = jax.random.split(jax.random.PRNGKey(1), (5 + 1) * n_disp * K)
     mkeys = mk.reshape((5 + 1, n_disp, K) + mk.shape[1:])
@@ -136,11 +140,14 @@ def measure_tpu_throughput():
             state, m = mstep(state, X, idx[c], zero, mkeys[trial][c], mkeys[trial][c])
         _ = float(m["loss"])  # close with a real D2H fetch
         best_m = min(best_m, time.time() - t0)
-    sps_multi = BATCH * BENCH_STEPS / best_m
-    log(f"tpu multistep path: {BENCH_STEPS} steps in {best_m:.3f}s -> {sps_multi:.0f} samples/sec")
+    sps_multi = BATCH * bench_steps / best_m
+    log(f"tpu multistep path: {bench_steps} steps in {best_m:.3f}s -> {sps_multi:.0f} samples/sec")
 
-    value, wall = (sps_multi, best_m) if sps_multi > sps else (sps, best)
-    mfu = (flops * BENCH_STEPS / wall / V5E_PEAK_FLOPS) if flops else -1.0
+    if sps_multi > sps:
+        value, wall, n_steps_timed = sps_multi, best_m, bench_steps
+    else:
+        value, wall, n_steps_timed = sps, best, BENCH_STEPS
+    mfu = (flops * n_steps_timed / wall / V5E_PEAK_FLOPS) if flops else -1.0
     if flops:
         log(f"conv-VAE step: {flops/1e9:.2f} GFLOP -> MFU {mfu*100:.3f}% of 197 TFLOP/s bf16 peak")
     return value, mfu

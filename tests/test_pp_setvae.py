@@ -1,0 +1,119 @@
+"""Pipeline parallelism on the REAL SetVAE (parallel/pp_setvae.py):
+the pipelined encoder-stack train step must match the single-device
+composite step — loss, gradients (via the sgd(1.0) delta trick), and
+param-tree round-tripping."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from vae_song_tpu.models import SetVAE
+from vae_song_tpu.parallel.pp import make_pp_mesh
+from vae_song_tpu.parallel.pp_setvae import (
+    make_setvae_pp_train_step,
+    merge_params,
+    shard_pp_setvae_state,
+    split_params,
+)
+from vae_song_tpu.train.loop import init_model
+
+B, N = 8, 32
+N_LAYERS = 4
+
+
+def _model():
+    return SetVAE(latent_channel=8, num_points=N, d_model=16, num_heads=2,
+                  ff_dim=32, beta=0.1, num_encoder_layers=N_LAYERS,
+                  num_decoder_layers=1)
+
+
+def _data():
+    return np.random.default_rng(0).normal(size=(B, N, 3)).astype(np.float32)
+
+
+def _single_device_grads(model, params, x, wu):
+    """Composite gradient of the real model path with z = mu."""
+
+    def loss_fn(p):
+        outs = model.apply(
+            {"params": p}, x, latent_rand_sampling=False, train=True,
+        )
+        total, *_ = model.loss(x, *outs, wu_alpha=wu)
+        return total
+
+    return jax.value_and_grad(loss_fn)(params)
+
+
+def test_split_merge_roundtrip():
+    model = _model()
+    params, _ = init_model(model, _data()[:2], seed=0)
+    pp = split_params(params, N_LAYERS)
+    back = merge_params(pp, N_LAYERS)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(back)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n_stages,n_micro", [(2, 4), (4, 2)])
+def test_pp_setvae_matches_single_device(n_stages, n_micro):
+    model = _model()
+    x = _data()
+    params, _ = init_model(model, x[:2], seed=0)
+    wu = jnp.float32(1.0)
+
+    want_loss, want_grads = _single_device_grads(model, params, jnp.asarray(x), wu)
+
+    mesh = make_pp_mesh(n_stages)
+    tx = optax.sgd(1.0)  # params - new_params == pipelined gradient
+    pp = split_params(params, N_LAYERS)
+    pp_host = jax.tree.map(np.asarray, pp)  # step donates its inputs
+    step = make_setvae_pp_train_step(model, tx, mesh, n_micro,
+                                     latent_rand_sampling=False)
+    p_sh, o_sh = shard_pp_setvae_state(pp, tx.init(pp), mesh, tx)
+    new_pp, _, metrics = step(p_sh, o_sh, jnp.asarray(x), wu,
+                              jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(want_loss),
+                               rtol=1e-5)
+    got_grads = merge_params(
+        jax.tree.map(lambda a, b: a - b, pp_host, jax.device_get(new_pp)),
+        N_LAYERS,
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(got_grads)[0],
+        jax.tree_util.tree_flatten_with_path(want_grads)[0],
+    ):
+        # atol floor: the params-minus-new-params extraction loses the
+        # low f32 bits of tiny gradient entries to the subtraction
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-6,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_pp_setvae_adam_step_trains():
+    """Stochastic smoke test: a few pipelined Adam steps reduce the loss
+    and keep everything finite."""
+    model = _model()
+    x = _data()
+    params, _ = init_model(model, x[:2], seed=0)
+    mesh = make_pp_mesh(4)
+    tx = optax.adam(1e-3)
+    pp = split_params(params, N_LAYERS)
+    step = make_setvae_pp_train_step(model, tx, mesh, n_micro=2)
+    p_sh, o_sh = shard_pp_setvae_state(pp, tx.init(pp), mesh, tx)
+    losses = []
+    for i in range(5):
+        p_sh, o_sh, m = step(p_sh, o_sh, jnp.asarray(x), jnp.float32(1.0),
+                             jax.random.PRNGKey(i))
+        losses.append(float(m["loss"]))
+    assert all(np.isfinite(v) for v in losses)
+    assert losses[-1] < losses[0]
+
+
+def test_pp_setvae_rejects_bad_config():
+    model = _model()
+    mesh = make_pp_mesh(3)  # 4 layers don't divide over 3 stages
+    with pytest.raises(ValueError):
+        make_setvae_pp_train_step(model, optax.adam(1e-3), mesh, n_micro=2)

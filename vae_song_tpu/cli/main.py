@@ -60,6 +60,9 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             data_parallel=data_parallel,
             checkpoint_every=checkpoint_every,
             native_prefetch=bool(common.get("native_prefetch", False)),
+            # model_params key: run the attention SetVAE encoder stack
+            # as GPipe stages over N devices (parallel/pp_setvae.py)
+            pipeline_parallel=int(mp.get("pipeline_parallel", 0)),
         )
         results.append(summary)
     return results

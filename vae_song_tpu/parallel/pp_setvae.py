@@ -1,0 +1,231 @@
+"""Pipeline parallelism for a REAL zoo model: the SetVAE attention
+encoder stack as GPipe stages.
+
+Round 2's parallel/pp.py proved the schedule on a generic residual-MLP
+toy; this module drives the framework's actual flagship set model
+(models/setvae.py, reference model.py:950-969) through it:
+
+  * the `num_encoder_layers` identical TransformerEncoderLayer param
+    subtrees are STACKED on a leading layer axis and sharded P('stage')
+    — each pipeline stage holds only its contiguous slice of encoder
+    layers (the memory-scaling axis for deep encoders),
+  * the rest of the model (input projection, pooled latent heads, the
+    whole set decoder) is replicated and computed redundantly on every
+    stage, the natural design for a bottlenecked VAE where the encoder
+    stack carries the depth,
+  * one jitted shard_map train step: pipelined encoder forward
+    (parallel/pp.py's schedule, microbatched over the batch axis),
+    pooling + reparameterization + decode + Chamfer/KL loss, pipelined
+    backprop, Adam — gradient conventions below.
+
+Gradient conventions (shard_map with check_vma=False):
+  * stacked encoder-layer grads are computed on their own stage by the
+    pipelined backprop (no collective needed),
+  * the PRE-pipeline input projection's cotangent arrives only via
+    stage 0's feed gate -> psum over stages recovers the full gradient
+    (other stages contribute zeros),
+  * POST-pipeline params (latent heads, decoder) are computed
+    redundantly-identically on every stage from the replicated pipeline
+    output -> pmean keeps the single-count gradient.
+Both conventions are exact (no approximation): verified to 1e-5
+against the single-device composite step in tests/test_pp_setvae.py.
+
+Supports SetVAE (composite loss; the reference detaches SetVAE's aux
+terms, model.py:1084). SetLRVAE's double-encode would run the pipeline
+twice per step — possible, but out of scope until a config needs it.
+
+Config key `pipeline_parallel: S` in model_params routes
+cli.main/train_and_test here (train/loop.py).
+"""
+
+from typing import Callable
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
+
+from vae_song_tpu.parallel.pp import STAGE_AXIS, _pipeline, make_pp_mesh
+from vae_song_tpu.nn.blocks import Dense
+from vae_song_tpu.models.setvae import TransformerEncoderLayer
+from vae_song_tpu.ops import losses
+
+ENC_LAYER = "TransformerEncoderLayer_"
+
+
+def split_params(params, n_layers: int):
+    """Full SetVAE params -> {'enc_stack': stacked [L, ...] layer tree,
+    'pre': input projection, 'post': heads + decoder}."""
+    enc = dict(params["encoder"])
+    layers = [enc.pop(f"{ENC_LAYER}{i}") for i in range(n_layers)]
+    stacked = jax.tree.map(lambda *ls: jnp.stack(ls), *layers)
+    pre = {"in_proj": enc.pop("Dense_0")}
+    post = {"enc_rest": enc, "decoder": params["decoder"]}
+    return {"enc_stack": stacked, "pre": pre, "post": post}
+
+
+def merge_params(pp_params, n_layers: int):
+    """Inverse of split_params — rebuild the flax tree (for eval /
+    checkpointing with the standard single-device paths)."""
+    stacked = pp_params["enc_stack"]
+    enc = {"Dense_0": pp_params["pre"]["in_proj"]}
+    for i in range(n_layers):
+        enc[f"{ENC_LAYER}{i}"] = jax.tree.map(lambda a, i=i: a[i], stacked)
+    enc.update(pp_params["post"]["enc_rest"])
+    return {"encoder": enc, "decoder": pp_params["post"]["decoder"]}
+
+
+def pp_param_specs(pp_params):
+    return {
+        "enc_stack": jax.tree.map(lambda _: P(STAGE_AXIS), pp_params["enc_stack"]),
+        "pre": jax.tree.map(lambda _: P(), pp_params["pre"]),
+        "post": jax.tree.map(lambda _: P(), pp_params["post"]),
+    }
+
+
+def _opt_specs(tx, pp_params):
+    """Optimizer-state specs: param-shaped subtrees (adam mu/nu) get the
+    param specs, everything else replicates. Same structural walk as
+    parallel/pp.py, dicts included."""
+    shapes = jax.eval_shape(tx.init, pp_params)
+    param_structure = jax.tree.structure(pp_params)
+    pspecs = pp_param_specs(pp_params)
+
+    def walk(node):
+        try:
+            if jax.tree.structure(node) == param_structure:
+                return pspecs
+        except Exception:
+            pass
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            return type(node)(*[walk(getattr(node, f)) for f in node._fields])
+        if isinstance(node, (tuple, list)):
+            return type(node)(walk(c) for c in node)
+        if isinstance(node, dict):
+            return {k: walk(v) for k, v in node.items()}
+        return jax.tree.map(lambda _: P(), node)
+
+    return walk(shapes)
+
+
+def shard_pp_setvae_state(pp_params, opt_state, mesh: Mesh, tx):
+    p_sh = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), pp_param_specs(pp_params)
+    )
+    o_sh = jax.tree.map(
+        lambda spec: NamedSharding(mesh, spec), _opt_specs(tx, pp_params)
+    )
+    return jax.device_put(pp_params, p_sh), jax.device_put(opt_state, o_sh)
+
+
+def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
+                              latent_rand_sampling: bool = True) -> Callable:
+    """Pipelined SetVAE train step over mesh axis 'stage'.
+
+    step(pp_params, opt_state, x, wu_alpha, rng)
+      -> (pp_params, opt_state, metrics)
+    x: [B, N, 3] replicated; B % n_micro == 0;
+    model.num_encoder_layers % n_stages == 0.
+
+    RNG note: eps is drawn from the replicated `rng` directly (every
+    stage draws the same noise) — an equally-valid random stream, but
+    not bit-identical to the single-device path's flax make_rng
+    derivation; the exact-parity test therefore compares with
+    latent_rand_sampling=False (z = mu), which removes the only
+    stream-dependent quantity.
+    """
+    if not (model.use_attention and type(model).__name__ == "SetVAE"):
+        raise ValueError(
+            "pipeline parallelism drives the attention SetVAE encoder "
+            f"stack; got {type(model).__name__} use_attention="
+            f"{model.use_attention}"
+        )
+    n_stages = mesh.shape[STAGE_AXIS]
+    n_layers = model.num_encoder_layers
+    if n_layers % n_stages != 0:
+        raise ValueError(
+            f"{n_layers} encoder layers do not divide over {n_stages} stages"
+        )
+    cdt = jnp.bfloat16 if model.mixed_precision else None
+    enc_layer_mod = TransformerEncoderLayer(
+        model.d_model, model.num_heads, model.ff_dim, 0.0, compute_dtype=cdt,
+        use_flash=model.use_flash,
+    )
+    in_proj = Dense(model.d_model)
+    mu_head = Dense(model.latent_channel)
+    lv_head = Dense(model.latent_channel)
+    from vae_song_tpu.models.setvae import SetDecoderAttn
+
+    decoder = SetDecoderAttn(
+        latent_dim=model.latent_channel, num_points=model.num_points,
+        d_model=model.d_model, num_heads=model.num_heads,
+        num_layers=model.num_decoder_layers, ff_dim=model.ff_dim,
+        dropout_rate=0.0, compute_dtype=cdt, use_flash=model.use_flash,
+    )
+
+    def stage_fn(local_stack, h):
+        def body(carry, layer_params):
+            y = enc_layer_mod.apply({"params": layer_params}, carry, train=True)
+            return y, None
+
+        y, _ = lax.scan(body, h, local_stack)
+        return y
+
+    def per_device(pp_params, opt_state, x, wu_alpha, rng):
+        def loss_fn(p):
+            h = in_proj.apply({"params": p["pre"]["in_proj"]}, x)
+            hm = h.reshape((n_micro, h.shape[0] // n_micro) + h.shape[1:])
+            y = _pipeline(stage_fn, p["enc_stack"], hm, STAGE_AXIS, n_stages)
+            y = y.reshape(h.shape[:1] + y.shape[2:])
+            s = y.max(axis=1)
+            mu = mu_head.apply({"params": p["post"]["enc_rest"]["Dense_1"]}, s)
+            log_var = lv_head.apply({"params": p["post"]["enc_rest"]["Dense_2"]}, s)
+            if latent_rand_sampling:
+                eps = jax.random.normal(rng, mu.shape, mu.dtype)
+                z = mu + eps * jnp.exp(0.5 * log_var)
+            else:
+                z = mu
+            recon = decoder.apply({"params": p["post"]["decoder"]}, z, train=True)
+            total, rec, reg_s, lr_s = model.loss(
+                x, recon, mu, log_var, wu_alpha=wu_alpha
+            )
+            return total, (rec, reg_s, lr_s)
+
+        (total, (rec, reg_s, lr_s)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(pp_params)
+        grads = {
+            "enc_stack": grads["enc_stack"],                       # stage-local
+            "pre": lax.psum(grads["pre"], STAGE_AXIS),             # stage-0 gated
+            "post": lax.pmean(grads["post"], STAGE_AXIS),          # redundant
+        }
+        updates, new_opt = tx.update(grads, opt_state, pp_params)
+        new_params = jax.tree.map(lambda a, u: a + u, pp_params, updates)
+        # SetVAE.loss returns the UNSCALED KL as its reg term
+        # (models/setvae.py:377-381), matching make_train_step's raw_kl
+        metrics = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s,
+                   "raw_kl": reg_s}
+        return new_params, new_opt, metrics
+
+    def build(pp_params_example):
+        p_specs = pp_param_specs(pp_params_example)
+        o_specs = _opt_specs(tx, pp_params_example)
+        sharded = jax.shard_map(
+            per_device,
+            mesh=mesh,
+            in_specs=(p_specs, o_specs, P(), P(), P()),
+            out_specs=(p_specs, o_specs, P()),
+            check_vma=False,
+        )
+        return jax.jit(sharded, donate_argnums=(0, 1))
+
+    # the step is built on first call (specs depend on the param tree)
+    cache = {}
+
+    def step(pp_params, opt_state, x, wu_alpha, rng):
+        if "fn" not in cache:
+            cache["fn"] = build(pp_params)
+        return cache["fn"](pp_params, opt_state, x, wu_alpha, rng)
+
+    return step

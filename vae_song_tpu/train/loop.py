@@ -97,6 +97,7 @@ def train_and_test(
     resume_from: str | None = None,
     data_parallel: bool = False,
     native_prefetch: bool = False,
+    pipeline_parallel: int = 0,
 ):
     """Returns (state, summary dict).
 
@@ -109,6 +110,10 @@ def train_and_test(
     (data/native.py:NativeBatchLoader — the DataLoader(num_workers=8)
     analogue, main.py:186); changes the shuffle stream, so keep it OFF
     when comparing trajectories against non-prefetch runs.
+    pipeline_parallel: >= 2 runs the attention SetVAE encoder stack as
+    GPipe pipeline stages over that many devices
+    (parallel/pp_setvae.py); params merge back for eval/checkpoints.
+    Config key `pipeline_parallel` in model_params (cli/main.py).
     """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
@@ -189,8 +194,53 @@ def train_and_test(
         and train_ds.X.nbytes < 512 * 1024 * 1024
     )
 
+    pp_sync = None
+    if pipeline_parallel and pipeline_parallel > 1:
+        if data_parallel:
+            raise ValueError("pipeline_parallel and data_parallel are exclusive")
+        if jax.device_count() < pipeline_parallel:
+            raise ValueError(
+                f"pipeline_parallel={pipeline_parallel} needs that many "
+                f"devices; have {jax.device_count()}"
+            )
+        from vae_song_tpu.parallel.pp import make_pp_mesh
+        from vae_song_tpu.parallel.pp_setvae import (
+            make_setvae_pp_train_step, merge_params, shard_pp_setvae_state,
+            split_params,
+        )
+
+        pp_mesh = make_pp_mesh(pipeline_parallel)
+        # GPipe wants n_micro >= n_stages for a small bubble; pick the
+        # smallest multiple of n_stages dividing the batch, else fall
+        # back to any divisor
+        n_micro = next(
+            (m for m in range(pipeline_parallel, 4 * pipeline_parallel + 1)
+             if batch_size % m == 0),
+            1,
+        )
+        pp_step_fn = make_setvae_pp_train_step(model, tx, pp_mesh, n_micro)
+        pp0 = split_params(state.params, model.num_encoder_layers)
+        pp_sharded, pp_opt = shard_pp_setvae_state(pp0, tx.init(pp0), pp_mesh, tx)
+        pp_box = {"params": pp_sharded, "opt": pp_opt}
+
+        def train_step(state, x, wu, key):
+            pp_box["params"], pp_box["opt"], m = pp_step_fn(
+                pp_box["params"], pp_box["opt"], x, wu, key
+            )
+            return state, m
+
+        def pp_sync(state):
+            merged = merge_params(
+                jax.device_get(pp_box["params"]), model.num_encoder_layers
+            )
+            return state.replace(params=jax.tree.map(jnp.asarray, merged))
+
+        eval_step = make_eval_step(model)
+
     mesh = None
-    if data_parallel and jax.device_count() > 1:
+    if pipeline_parallel and pipeline_parallel > 1:
+        pass  # steps built above
+    elif data_parallel and jax.device_count() > 1:
         from vae_song_tpu.parallel import (
             make_mesh, replicate_state, make_dp_train_step, make_dp_eval_step,
             shard_batch,
@@ -219,6 +269,7 @@ def train_and_test(
     if (
         epochs > start_epoch  # gen-only mode must not upload the dataset
         and not data_parallel
+        and not pipeline_parallel
         and not use_scan
         and train_ds.X.nbytes < 512 * 1024 * 1024
         # an explicit native_prefetch request keeps the C++ loader path;
@@ -229,17 +280,9 @@ def train_and_test(
         # K-unrolled compile (~25 s/step remote) on long runs
         and (not is_set or epochs - start_epoch >= 20)
     ):
-        # K caps at 16: throughput grows ~linearly in K until compute
-        # dominates dispatch (measured: K=6 77k, K=15 136k samples/sec on
-        # the bench model) but compile time also grows ~linearly
-        # (~8 s/step remote), so 16 balances one-time compile vs steady
-        # state for 100-epoch runs. Set models cap at 4: the gain is
-        # only the dispatch tax, and their per-step compile is ~3x.
-        k_hi = 4 if is_set else 16
-        multi_k = max(
-            (k for k in range(2, k_hi + 1) if steps_per_epoch % k == 0),
-            default=1,
-        )
+        from vae_song_tpu.train.steps import pick_multistep_k
+
+        multi_k = pick_multistep_k(steps_per_epoch, is_set)
         if multi_k > 1:
             from vae_song_tpu.train.steps import make_multistep_train_step
 
@@ -394,6 +437,12 @@ def train_and_test(
         # KL — the reference stores loss_reg per loss() call so the
         # final batch wins (model.py:62, 614); beta-independent
         last_kl = last_batch_raw_kl if has_warmup else 0.0
+
+        # pipeline-parallel: merge the stage-sharded encoder stack back
+        # into the flax tree so eval/checkpoint/artifact paths see the
+        # trained params
+        if pp_sync is not None:
+            state = pp_sync(state)
 
         # ---- eval every epoch (main.py:303) ----
         last_epoch = epoch == epochs - 1

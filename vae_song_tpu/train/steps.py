@@ -135,6 +135,25 @@ def make_train_step(model, tx, L: int = 1, grad_mode: str | None = None) -> Call
     return train_step
 
 
+def pick_multistep_k(steps_per_epoch: int, is_set: bool) -> int:
+    """The K the trainer uses for the multi-step dispatch path: the
+    largest divisor of steps_per_epoch within the cap. Shared by
+    train_and_test (train/loop.py) and bench.py so the benched
+    configuration IS the shipped configuration.
+
+    Cap 24 for dense models: throughput ~ 1/(step_ms + relay_ms/K)
+    keeps growing past 16 (measured: K=6 77k, K=15 136k, K=24 171k
+    samples/sec on the bench model) while compile cost grows ~7 s/step
+    remote — 24 balances one-time compile vs steady state for
+    100-epoch runs. Set models cap at 4: their ~80 ms step makes the
+    dispatch tax a ~15% effect, and per-step compile is ~3x."""
+    k_hi = 4 if is_set else 24
+    return max(
+        (k for k in range(2, k_hi + 1) if steps_per_epoch % k == 0),
+        default=1,
+    )
+
+
 def make_multistep_train_step(model, tx, n_steps: int, L: int = 1,
                               grad_mode: str | None = None,
                               augment=None) -> Callable:
