@@ -153,10 +153,16 @@ def measure_tpu_throughput():
     return value, mfu
 
 
-def measure_setvae_step(mixed_precision=False, use_flash=False):
+def measure_setvae_step(mixed_precision=False, use_flash=False,
+                        multistep=False):
     """Compute-bound entry: SetVAE attention train step at the shipped
     ShapeNet config shapes (config_shapenet_setvae.yaml: B=64, N=2048,
-    d_model=256, 4 heads, 2+2 layers, ff 512, latent 128)."""
+    d_model=256, 4 heads, 2+2 layers, ff 512, latent 128).
+
+    multistep=True times the path train_and_test actually selects for
+    the ShapeNet config: the lax.scan multistep at
+    K = pick_multistep_k(234 steps/epoch, is_set=True)
+    (train/loop.py routes set models there; same program, same K)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -167,6 +173,7 @@ def measure_setvae_step(mixed_precision=False, use_flash=False):
     from vae_song_tpu.train.loop import init_model
 
     B, N = 64, 2048
+    SHAPENET_STEPS_PER_EPOCH = 14976 // 64  # 234 (reference scale)
     model = SetVAE(latent_channel=128, num_points=N, d_model=256,
                    num_heads=4, ff_dim=512, beta=0.001,
                    mixed_precision=mixed_precision, use_flash=use_flash)
@@ -182,7 +189,7 @@ def measure_setvae_step(mixed_precision=False, use_flash=False):
 
     t0 = time.time()
     flops = None
-    if not use_flash:
+    if not use_flash and not multistep:
         # analytic FLOPs come from cost analysis of the pure-XLA
         # program (Pallas custom calls are counted as 0, and dense
         # attention is now the DEFAULT TPU path) — lower a throwaway
@@ -203,6 +210,43 @@ def measure_setvae_step(mixed_precision=False, use_flash=False):
                 del _os.environ["VST_DISABLE_DENSE_ATTN"]
             else:
                 _os.environ["VST_DISABLE_DENSE_ATTN"] = _prev
+    if multistep:
+        from vae_song_tpu.train.steps import (
+            make_scanned_multistep_train_step,
+            pick_multistep_k,
+        )
+
+        K = pick_multistep_k(SHAPENET_STEPS_PER_EPOCH, is_set=True)
+        log(f"setvae multistep: trainer-selected K={K} "
+            f"for {SHAPENET_STEPS_PER_EPOCH} steps/epoch")
+        mstep = make_scanned_multistep_train_step(model, tx, K)
+        # resident pool smaller than the full split (gather cost per
+        # step is identical; the full 368 MB upload is not the metric)
+        n_pool = 2048
+        rng_np = np.random.default_rng(1)
+        X = jnp.asarray(rng_np.normal(size=(n_pool, N, 3)).astype(np.float32))
+        n_disp = 6
+        idx = jnp.asarray(
+            rng_np.integers(0, n_pool, size=(n_disp, K, B)).astype(np.int32)
+        )
+        mk = jax.random.split(jax.random.PRNGKey(2), n_disp * K)
+        mk = mk.reshape(n_disp, K, *mk.shape[1:])
+        t0 = time.time()
+        state, m = mstep(state, X, idx[0], zero, mk[0], mk[0])
+        _ = float(m["loss"])
+        log(f"setvae scanned multistep K={K} compile+first: {time.time()-t0:.1f}s")
+        best = float("inf")
+        for trial in range(4):
+            t0 = time.time()
+            for c in range(1, n_disp):
+                state, m = mstep(state, X, idx[c], zero, mk[c], mk[c])
+            _ = float(m["loss"])  # close with a real D2H fetch
+            best = min(best, (time.time() - t0) / ((n_disp - 1) * K))
+        ms = best * 1000
+        tag = ("bf16" if mixed_precision else "f32") + "+multistep"
+        log(f"setvae[{tag}] B={B} N={N} K={K}: {ms:.1f} ms/step")
+        return ms, flops
+
     state, m = step(state, x, zero, keys[-1])
     _ = float(m["loss"])
     log(f"setvae compile+first step: {time.time()-t0:.1f}s")
@@ -276,7 +320,8 @@ def measure_torch_baseline():
 def main():
     value, mfu = measure_tpu_throughput()
     setvae_ms, setvae_flops = measure_setvae_step()
-    fast_ms, _partial = measure_setvae_step(mixed_precision=True, use_flash=True)
+    fast_ms, _partial = measure_setvae_step(mixed_precision=True,
+                                            multistep=True)
     baseline = measure_torch_baseline()
     vs = (value / baseline) if baseline else -1.0
     # the flash program's cost analysis omits the Pallas custom call's
@@ -289,7 +334,7 @@ def main():
         "mfu": round(mfu, 5),
         "setvae_ms_per_step": round(setvae_ms, 1),       # f32 parity config, default path (dense Pallas attention)
         "setvae_mfu": round(_mfu(setvae_flops, setvae_ms), 4),
-        "setvae_fast_ms_per_step": round(fast_ms, 1),    # bf16 + Pallas attention (dense/flash auto-pick)
+        "setvae_fast_ms_per_step": round(fast_ms, 1),    # bf16, trainer's scanned-multistep path (dense Pallas attention)
         "setvae_fast_mfu": round(_mfu(setvae_flops, fast_ms), 4),
         "v5e_peak_tflops_bf16": 197,
     }))

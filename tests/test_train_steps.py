@@ -185,16 +185,21 @@ def test_multistep_equals_k_single_steps():
 
 
 def test_multistep_set_model_equals_k_single_steps():
-    """Set models route through the multi-step dispatch path too
-    (train/loop.py gates it to long runs); the fused program must match
-    K single steps on the same batches/keys."""
+    """Set models route through the SCANNED multi-step dispatch path
+    (train/loop.py — lax.scan body, compile cost flat in K); the fused
+    program must match K single steps on the same batches/keys, and the
+    scanned/unrolled variants must agree with each other."""
     import jax
     import jax.numpy as jnp
     import numpy as np
     from vae_song_tpu.models import SetVAE
     from vae_song_tpu.train.loop import init_model
     from vae_song_tpu.train.state import TrainState, make_optimizer
-    from vae_song_tpu.train.steps import make_train_step, make_multistep_train_step
+    from vae_song_tpu.train.steps import (
+        make_train_step,
+        make_multistep_train_step,
+        make_scanned_multistep_train_step,
+    )
 
     model = SetVAE(latent_channel=4, num_points=16, d_model=16, num_heads=2,
                    ff_dim=32, beta=0.01)
@@ -216,10 +221,17 @@ def test_multistep_set_model_equals_k_single_steps():
         s1, m = step(s1, jnp.asarray(X[idx[i]]), wu, keys[i])
         losses.append(float(m["loss"]))
 
-    mstep = make_multistep_train_step(model, tx, K)
+    mstep = make_scanned_multistep_train_step(model, tx, K)
     s2, m2 = mstep(fresh(), jnp.asarray(X), jnp.asarray(idx), wu, keys, keys)
 
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=1e-3)
     np.testing.assert_allclose(float(m2["loss"]), np.mean(losses), rtol=1e-5)
     assert int(s2.step) == K
+
+    # scanned vs unrolled: same semantics, same K-mean metrics
+    mstep_u = make_multistep_train_step(model, tx, K)
+    s3, m3 = mstep_u(fresh(), jnp.asarray(X), jnp.asarray(idx), wu, keys, keys)
+    for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=1e-3)
+    np.testing.assert_allclose(float(m2["raw_kl"]), float(m3["raw_kl"]), rtol=1e-4)

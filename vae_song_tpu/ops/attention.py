@@ -179,11 +179,33 @@ class MultiHeadAttention(nn.Module):
                 bias_init=nn.initializers.zeros,
             )
 
+        b, n_q = inputs_q.shape[0], inputs_q.shape[1]
+        n_kv = inputs_kv.shape[1]
+        if n_kv == 1 and not (self.dropout_rate > 0.0 and train):
+            # (torch drops attention WEIGHTS — at kv length 1 that
+            # zeroes whole rows — so a training dropout config falls
+            # through to the materialized-scores branch below)
+            # cross-attention to a single memory token (the set
+            # decoder's latent, model.py:972-992): softmax over ONE key
+            # is identically 1.0, so the output is the value projection
+            # broadcast over queries and the q/k paths carry ZERO
+            # gradient (softmax jacobian of a constant distribution).
+            # Compute only the v projection; register the q/k params on
+            # a 1-token slice so the param tree (and log.txt param
+            # counts) stay identical.
+            in_proj("query")(inputs_q[:, :1])
+            in_proj("key")(inputs_kv)
+            v1 = in_proj("value")(inputs_kv)          # [B, 1, d_model]
+            out = jnp.broadcast_to(v1, (b, n_q, self.d_model))
+            return nn.Dense(
+                self.d_model, name="out",
+                dtype=self.compute_dtype,
+                kernel_init=torch_linear_kernel_init,
+                bias_init=nn.initializers.zeros,
+            )(out)
         q = in_proj("query")(inputs_q)
         k = in_proj("key")(inputs_kv)
         v = in_proj("value")(inputs_kv)
-        b, n_q = q.shape[0], q.shape[1]
-        n_kv = k.shape[1]
         q = q.reshape(b, n_q, h, d)
         k = k.reshape(b, n_kv, h, d)
         v = v.reshape(b, n_kv, h, d)
@@ -231,6 +253,12 @@ class MultiHeadAttention(nn.Module):
             # Set VST_DISABLE_DENSE_ATTN=1 to force XLA attention for
             # numerics A/B (the kernel's MXU rounding differs from
             # XLA's at the ~1e-3 level on f32 inputs).
+            # (An alternative that projects q/k/v straight into the
+            # kernel's [B, H, N, D] layout via reshaped-weight einsums
+            # was profiled and REJECTED: XLA materializes the einsums'
+            # output permutation as MORE copies than the explicit
+            # transposes here — 7.6 vs 6.0 ms/step at the SetVAE
+            # shapes, 70.1 vs 69.1 ms device step.)
             out = dense_attention(q, k, v, scale)
         elif self.use_flash and _flash_ok(q, k):
             out = _flash_attention(q, k, v, scale)

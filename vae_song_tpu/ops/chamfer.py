@@ -90,15 +90,15 @@ def _chamfer_kernel(pred_ref, gt_ref, minp_ref, argp_ref, ming_ref, argg_ref):
     gt = gt_ref[:]      # [8, Ng, 3]
     t = pred.shape[1]
 
-    p2 = (pred**2).sum(-1)[:, :, None]       # [8, T, 1]
-    g2 = (gt**2).sum(-1)[:, None, :]         # [8, 1, Ng]
-    pg = jax.lax.dot_general(
-        pred, gt,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )                                         # [8, T, Ng]
-    d2 = jnp.maximum(p2 + g2 - 2.0 * pg, 0.0)
+    # DIRECT squared distances: sum_c (pred_c - gt_c)^2 as broadcast
+    # VPU ops. Faster than the K=3 inner-product expansion (a
+    # HIGHEST-precision f32 matmul decomposes into multiple MXU passes
+    # at 2% utilization: measured 5.8 -> 5.0 ms fwd at B=64/N=2048),
+    # numerically EXACT (no p^2+g^2-2pg cancellation), so no clamp.
+    d2 = None
+    for c in range(3):
+        diff = pred[:, :, c][:, :, None] - gt[:, :, c][:, None, :]
+        d2 = diff * diff if d2 is None else d2 + diff * diff
 
     # pred-side: min over gt axis
     minp_ref[:] = d2.min(axis=2)
@@ -120,6 +120,124 @@ def _chamfer_kernel(pred_ref, gt_ref, minp_ref, argp_ref, ming_ref, argg_ref):
         take_new = local_min < prev
         ming_ref[:] = jnp.where(take_new, local_min, prev)
         argg_ref[:] = jnp.where(take_new, local_arg, argg_ref[:])
+
+
+def _chamfer_bwd_kernel(pred_ref, gt_ref, argp_ref, argg_ref,
+                        dpred_ref, dgt_ref, *, sp, sg):
+    """Grid (B//8, Np//T): exact index-routed backward with NO gathers
+    or scatter-adds (XLA's scatter-add here measured 6.4 ms at
+    B=64/N=2048 — it serializes). Every term reduces to a one-hot
+    masked matmul or a mask count, because for the cross terms the
+    scattered value collapses: argg_j = i  =>  pred_{argg_j} = pred_i,
+    so
+
+      d_pred_i = 2*sp*(pred_i - gt_{argp_i})
+               + 2*sg*(cG_i * pred_i - S_i)
+        with  cG_i = #{j : argg_j = i},  S_i = sum_{j:argg_j=i} gt_j
+      d_gt_j   = 2*sg*(gt_j - pred_{argg_j})
+               + 2*sp*(cntP_j * gt_j - P_j)
+        with  cntP_j = #{i : argp_i = j},  P_j = sum_{i:argp_i=j} pred_i
+
+    and every right-hand side is per-pred-tile accumulable. Point
+    values ride the MXU as a bf16 hi/lo split (two matmuls, f32
+    accumulate): each mask row selects/sums exact 0/1 weights, so the
+    result matches the f32 gather/scatter formulation to ~2^-16
+    relative — the same numerics the oracle-parity test checks."""
+    import jax.experimental.pallas as pl
+
+    j = pl.program_id(1)
+    pred = pred_ref[:]                 # [8, T, 3] f32 (this pred tile)
+    gt = gt_ref[:]                     # [8, Ng, 3] f32
+    argp = argp_ref[:]                 # [8, T] int32 (global gt idx)
+    argg = argg_ref[:]                 # [8, Ng] int32 (global pred idx)
+    bb, t, _ = pred.shape
+    ng = gt.shape[1]
+
+    iota_ng = lax.broadcasted_iota(jnp.int32, (bb, t, ng), 2)
+    mask_p = (argp[:, :, None] == iota_ng).astype(jnp.bfloat16)  # [8,T,Ng]
+    iota_t = lax.broadcasted_iota(jnp.int32, (bb, ng, t), 2) + j * t
+    mask_g = (argg[:, :, None] == iota_t).astype(jnp.bfloat16)   # [8,Ng,T]
+
+    def split(x):
+        hi = x.astype(jnp.bfloat16)
+        return hi, (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def mdot(mask, val, dims):
+        """Batched mask @ val with bf16 hi/lo value split, f32 accum."""
+        vh, vl = split(val)
+        d = lambda v: lax.dot_general(
+            mask, v, dims, preferred_element_type=jnp.float32
+        )
+        return d(vh) + d(vl)
+
+    contract2 = (((2,), (1,)), ((0,), (0,)))   # mask last dim x val points
+    contract1 = (((1,), (1,)), ((0,), (0,)))   # mask points dim x val points
+
+    # append a ones column so mask counts ride the SAME matmuls as the
+    # selected-point sums (the minor dim is lane-padded to 128 anyway):
+    # [.., :3] = sum/selection of points, [.., 3] = assignment count.
+    # A separate f32 mask.sum() pass costs two full [*, N] VPU passes.
+    ones_g = jnp.ones((bb, ng, 1), jnp.float32)
+    ones_p = jnp.ones((bb, t, 1), jnp.float32)
+    aug_g = jnp.concatenate([gt, ones_g], axis=2)    # [8, Ng, 4]
+    aug_p = jnp.concatenate([pred, ones_p], axis=2)  # [8, T, 4]
+
+    nn_g = mdot(mask_p, aug_g, contract2)          # [8, T, 4] gt_{argp_i}
+    s_c = mdot(mask_g, aug_g, contract1)           # [8, T, 4] = [S_i, cG_i]
+    dpred_ref[:] = (2.0 * sp) * (pred - nn_g[..., :3]) + (2.0 * sg) * (
+        s_c[..., 3:4] * pred - s_c[..., :3]
+    )
+
+    nnp_t = mdot(mask_g, aug_p, contract2)         # [8, Ng, 4] partial
+    p_c = mdot(mask_p, aug_p, contract1)           # [8, Ng, 4] = [P_j, cntP_j]
+
+    @pl.when(j == 0)
+    def _init():
+        dgt_ref[:] = (2.0 * sg) * gt
+
+    dgt_ref[:] = dgt_ref[:] + (
+        (-2.0 * sg) * nnp_t[..., :3]
+        + (2.0 * sp) * (p_c[..., 3:4] * gt - p_c[..., :3])
+    )
+
+
+def _chamfer_bwd_pallas(pred, gt, argp, argg, tile: int, interpret=False):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, np_, _ = pred.shape
+    ng = gt.shape[1]
+    # the backward holds two [T, Ng] bf16 masks PLUS their int32 iota
+    # scratch in VMEM — T=512 overflows the 100 MB scoped limit by
+    # 13 MB, so cap the backward's pred tile at 256 independent of the
+    # forward tile (the argp slicing is tile-agnostic)
+    tile = min(tile, 256 if np_ % 256 == 0 else tile)
+    kern = functools.partial(
+        _chamfer_bwd_kernel, sp=1.0 / (b * np_), sg=1.0 / (b * ng)
+    )
+    dpred, dgt = pl.pallas_call(
+        kern,
+        grid=(b // _BB, np_ // tile),
+        in_specs=[
+            pl.BlockSpec((_BB, tile, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((_BB, ng, 3), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((_BB, tile), lambda i, j: (i, j)),
+            pl.BlockSpec((_BB, ng), lambda i, j: (i, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((_BB, tile, 3), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((_BB, ng, 3), lambda i, j: (i, 0, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, np_, 3), jnp.float32),
+            jax.ShapeDtypeStruct((b, ng, 3), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(pred.astype(jnp.float32), gt.astype(jnp.float32), argp, argg)
+    return dpred, dgt
 
 
 def _chamfer_pallas_fwd_impl(pred, gt, tile: int):
@@ -172,6 +290,15 @@ def _chamfer_fwd(points_pred, points_gt, tile):
 
 
 def _chamfer_bwd(tile, res, g):
+    pred, gt, argp, argg = res
+    d_pred, d_gt = _chamfer_bwd_pallas(pred, gt, argp, argg, tile)
+    return (g * d_pred.astype(pred.dtype), g * d_gt.astype(gt.dtype))
+
+
+def _chamfer_bwd_xla(res, g):
+    """Reference backward (gather + XLA scatter-add) — kept as the
+    parity oracle for the Pallas backward kernel; 6.4 ms at B=64/N=2048
+    vs ~2-3 ms for the masked-matmul kernel above."""
     pred, gt, argp, argg = res
     b, np_, _ = pred.shape
     ng = gt.shape[1]
@@ -235,5 +362,9 @@ def best_chamfer(points_pred, points_gt):
     b, np_ = points_pred.shape[0], points_pred.shape[1]
     ng = points_gt.shape[1]
     if on_tpu and b % _BB == 0 and np_ % 128 == 0 and ng % 128 == 0:
-        return chamfer_distance_pallas(points_pred, points_gt, 128)
+        # tile: largest of 512/256/128 dividing the pred cloud (512
+        # measured fastest at the ShapeNet shapes; 128 keeps odd sizes
+        # eligible)
+        tile = next(t for t in (512, 256, 128) if np_ % t == 0)
+        return chamfer_distance_pallas(points_pred, points_gt, tile)
     return chamfer_distance(points_pred, points_gt)

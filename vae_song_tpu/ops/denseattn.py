@@ -7,14 +7,28 @@ FULL [N, N] f32 score matrix is 16.8 MB — it fits comfortably in a v5e
 core's VMEM, so a one-shot kernel that materializes scores on-chip
 skips the online-softmax bookkeeping entirely:
 
-  forward  (per batch*head grid step):
-      S = (q k^T) * scale;  P = softmax(S);  out = P v
-  backward (recompute, no [N, N] residuals in HBM):
-      P  = softmax(q k^T * scale)
+  forward  (grid (batch*heads, N/BQ) — query rows blocked at BQ=1024,
+  measured ~4% faster than whole-row and halves peak VMEM):
+      S2 = (q * scale * log2e) k^T           # scale folded on [N, D]
+      P  = exp2(S2 - rowmax(S2));  out = P v / rowsum(P)
+      also emits LSE2 = rowmax(S2) + log2(rowsum(P))
+      ([B, H, N, 1] f32 — 2 MB at the set shapes, kept as a residual)
+  backward (score recompute only — no [N, N] residuals in HBM, and
+  none of the forward's softmax REDUCTIONS repeat):
+      P  = exp2((q * scale * log2e) k^T - LSE2)   # one elementwise pass
       dV = P^T dO
       dP = dO v^T
-      dS = P * (dP - rowsum(dP * P))
-      dQ = dS k * scale;  dK = dS^T q * scale
+      delta = rowsum(dO * O)                 # == rowsum(dP * P), the
+                                             # flash-attention identity,
+                                             # computed on [N, D]
+      dS2 = P * (dP - delta)
+      dQ = dS2 k * scale                     # base-2 factors cancel:
+      dK = dS2^T (q*scale*log2e) * ln2       #   = scale * dS2^T q
+  vs the round-2 version this removes: the [N, N] scale-multiply pass
+  (folded into q on [N, D]), the exp->exp2 ladder, and in the backward
+  the max pass, f32 row-sum pass, normalize pass, and the jacobian
+  rowsum over [N, N] (replaced by an [N, D] pass over dO*O). Measured
+  per attention at the set shapes (bf16): fwd 8.9 -> 7.7 ms.
 
 Matmuls run on the MXU with f32 accumulation (Mosaic requires 32-bit
 accumulators); the softmax passes over [N, N] run in bf16 when the
@@ -39,6 +53,13 @@ import jax.numpy as jnp
 # = 16.8 MB each; cap where two such buffers + slack stay under ~64 MB
 MAX_DENSE_SEQ = 2048
 
+# query-row block for the forward grid (measured best of 256/512/1024
+# at the set shapes); rows fall back to whole-N when n % BQ != 0
+FWD_BLOCK_Q = 1024
+
+LOG2E = 1.4426950408889634
+LN2 = 0.6931471805599453
+
 
 def _vpu_dtype(dtype):
     """Elementwise softmax passes run at 2x VPU rate in bf16; keep them
@@ -46,58 +67,69 @@ def _vpu_dtype(dtype):
     return jnp.float32 if dtype == jnp.float32 else jnp.bfloat16
 
 
-def _softmax_shift(q, k, s, scale, cd):
-    """Row shift for a stable exp: the exact row max, all dtypes.
-
-    A Cauchy-Schwarz bound (|q_i|*max|k_j|*scale, computed from the
-    [N, D] operands) was tried here to save the [N, N] max pass (~8%
-    of fwd): REJECTED. When training transients blow up activations
-    (e.g. the SetVAE KL spike in the first epoch at the reference's
-    lr=1e-2), the bound's slack exceeds bf16's exp range, the whole
-    row underflows to p=0, l=0, and o = 0/0 — measured NaN at step 8
-    of the shipped ShapeNet config. The exact max is uncondition-
-    ally safe: exp(s - max) has a guaranteed 1.0 entry, so l >= 1."""
-    del q, k, scale, cd
-    return s.max(axis=1, keepdims=True)
+# Softmax-shift history (round 2): a Cauchy-Schwarz norm bound
+# (|q_i|*max|k_j|*scale from the [N, D] operands) was tried in place of
+# the exact row max to save the [N, N] max pass (~8% of fwd): REJECTED.
+# When training transients blow up activations (the SetVAE KL spike in
+# the first epoch at the reference's lr=1e-2), the bound's slack
+# exceeds bf16's exp range, the whole row underflows to p=0, l=0, and
+# o = 0/0 — measured NaN at step 8 of the shipped ShapeNet config. The
+# exact max is unconditionally safe: exp2(s - max) has a guaranteed
+# 1.0 entry, so l >= 1.
 
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0]                       # [N, D]
-    k = k_ref[0]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
+    q = q_ref[0]                       # [BQ, D] (query-row block)
+    k = k_ref[0]                       # [N, D]
     v = v_ref[0]
     cd = _vpu_dtype(q.dtype)
-    # Mosaic requires a 32-bit matmul accumulator; cast down AFTER the
-    # dot so the softmax passes over [N, N] run at bf16 VPU rate
-    s = (jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+    # fold scale * log2e into q on [BQ, D] — removes the [N, N] scale
+    # pass entirely; exp2 then computes the same softmax in base 2
+    qc = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    # Mosaic requires a 32-bit matmul accumulator
+    s = jax.lax.dot_general(
+        qc, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale).astype(cd)              # [N, N]
-    m = _softmax_shift(q, k, s, scale, cd)
-    p = jnp.exp(s - m)
+    )                                   # [BQ, N] base-2 scores, f32
+    # the EXACT row max (f32): unconditionally safe shift — exp2 has a
+    # guaranteed 1.0 entry, so l >= 1 (a norm-bound shortcut NaN'd
+    # under training transients in round 2, see module docstring)
+    m = s.max(axis=1, keepdims=True)
+    # single fused shift->cast->exp2 chain at the cd VPU rate
+    p = jnp.exp2((s - m).astype(cd))
     # f32 row-sum: the normalizer accumulates 2048 terms
     l = p.astype(jnp.float32).sum(axis=1, keepdims=True)
-    # normalize AFTER the PV matmul: N*D divides instead of N*N
+    # normalize AFTER the PV matmul: BQ*D divides instead of BQ*N
     o = jax.lax.dot_general(
         p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     o_ref[0] = (o / l).astype(q.dtype)
+    # base-2 LSE residual for the backward ([BQ, 1] — keeps the sublane
+    # layout of the row reductions); l >= 1 so log2 is safe
+    lse_ref[0] = m + jnp.log2(l)
 
 
-def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
+def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, o_ref, lse_ref,
+                dq_ref, dk_ref, dv_ref, *, scale):
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
     do = do_ref[0]
+    o = o_ref[0]
+    lse = lse_ref[0]                               # [N, 1] f32, base 2
     cd = _vpu_dtype(q.dtype)
-    s = (jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+    qc = (q.astype(jnp.float32) * (scale * LOG2E)).astype(q.dtype)
+    s = jax.lax.dot_general(
+        qc, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ) * scale).astype(cd)
-    m = _softmax_shift(q, k, s, scale, cd)
-    e = jnp.exp(s - m)
-    l = e.astype(jnp.float32).sum(axis=1, keepdims=True)
-    p = e * (1.0 / l).astype(cd)                   # [N, N], one VPU pass
+    )
+    # normalized probabilities in ONE elementwise pass: no max/sum
+    # recompute, no separate normalize (base-2 LSE saved by the
+    # forward). exp2 runs at the compute dtype's VPU rate (bf16 = 2x);
+    # same numerics as the round-2 kernel, whose exp also ran on
+    # bf16-rounded arguments.
+    p = jnp.exp2((s - lse).astype(cd))             # [N, N]
     dv_ref[0] = jax.lax.dot_general(
         p.astype(q.dtype), do, (((0,), (0,)), ((), ())),  # P^T dO
         preferred_element_type=jnp.float32,
@@ -106,56 +138,75 @@ def _bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *, scale):
         do, v, (((1,), (1,)), ((), ())),           # dO V^T  [N, N]
         preferred_element_type=jnp.float32,
     ).astype(cd)
-    # the rowsum is the softmax-jacobian inner product — f32 accumulate
-    prod = dp * p
-    row = prod.astype(jnp.float32).sum(axis=1, keepdims=True)
-    ds = (p * (dp - row.astype(cd))).astype(q.dtype)
+    # flash identity: rowsum(dP * P) == rowsum(dO * O) — an [N, D]
+    # reduction instead of a second pass over [N, N]
+    delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(
+        axis=1, keepdims=True
+    )
+    ds = (p * (dp - delta.astype(cd))).astype(q.dtype)
+    # base-2 chain rule: dL/ds_nat = ln2 * P (dP - delta); combined
+    # with the q prescale the factors reduce to plain `scale` for dQ
+    # and `ln2` against the prescaled q for dK (== scale * dS^T q)
     dq_ref[0] = (jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale).astype(q.dtype)
     dk_ref[0] = (jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())),           # dS^T Q
+        ds, qc, (((0,), (0,)), ((), ())),          # dS^T (q*scale*log2e)
         preferred_element_type=jnp.float32,
-    ) * scale).astype(q.dtype)
+    ) * LN2).astype(q.dtype)
 
 
 def _call_fwd(q, k, v, scale, interpret):
-    """Raw pallas call over locally-materialized [B, H, N, D] shards."""
+    """Raw pallas call over [B, H, N, D] folded to [B*H, N, D]; the
+    forward grid row-blocks the query axis at FWD_BLOCK_Q.
+    Returns (o [B, H, N, D], lse [B, H, N, 1] f32)."""
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, n, d = q.shape
+    bq = FWD_BLOCK_Q if n % FWD_BLOCK_Q == 0 else n
     fold = lambda a: a.reshape(b * h, n, d)
-    out = pl.pallas_call(
+    out, lse = pl.pallas_call(
         functools.partial(_fwd_kernel, scale=scale),
-        grid=(b * h,),
-        in_specs=[pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))] * 3,
-        out_specs=pl.BlockSpec((1, n, d), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+        grid=(b * h, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((1, n, d), lambda i, j: (i, 0, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, bq, 1), lambda i, j: (i, j, 0)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, n, d), q.dtype),
+            jax.ShapeDtypeStruct((b * h, n, 1), jnp.float32),
+        ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(fold(q), fold(k), fold(v))
-    return out.reshape(b, h, n, d)
+    return out.reshape(b, h, n, d), lse.reshape(b, h, n, 1)
 
 
-def _call_bwd(q, k, v, do, scale, interpret):
+def _call_bwd(q, k, v, do, o, lse, scale, interpret):
     import jax.experimental.pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     b, h, n, d = q.shape
     fold = lambda a: a.reshape(b * h, n, d)
     spec = pl.BlockSpec((1, n, d), lambda i: (i, 0, 0))
+    lse_spec = pl.BlockSpec((1, n, 1), lambda i: (i, 0, 0))
     shape = jax.ShapeDtypeStruct((b * h, n, d), q.dtype)
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_kernel, scale=scale),
         grid=(b * h,),
-        in_specs=[spec] * 4,
+        in_specs=[spec] * 5 + [lse_spec],
         out_specs=(spec,) * 3,
         out_shape=(shape,) * 3,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(fold(q), fold(k), fold(v), fold(do))
+    )(fold(q), fold(k), fold(v), fold(do), fold(o), lse.reshape(b * h, n, 1))
     unfold = lambda a: a.reshape(b, h, n, d)
     return unfold(dq), unfold(dk), unfold(dv)
 
@@ -170,13 +221,17 @@ def _call_bwd(q, k, v, do, scale, interpret):
 # custom_partitioning with "shard dims 0-1 freely, replicate N and D"
 # rules. This is what lets use_flash compose with tensor parallelism.
 
-def _bh_sharding(arg_shape, mesh):
-    """Keep the batch/head dim shardings of `arg_shape`, replicate N/D."""
+def _bh_sharding(arg_shape, mesh, rank: int = 4):
+    """Keep the batch/head dim shardings of the [B, H, N, D]-layout
+    `arg_shape`, replicate the trailing dims (N/D — or N/1 for the LSE
+    residual)."""
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     sh = arg_shape.sharding
-    spec = tuple(sh.spec) + (None,) * (4 - len(sh.spec))
-    return NamedSharding(getattr(sh, "mesh", mesh), P(spec[0], spec[1], None, None))
+    spec = tuple(sh.spec) + (None,) * (rank - len(sh.spec))
+    return NamedSharding(
+        getattr(sh, "mesh", mesh), P(spec[0], spec[1], None, None)
+    )
 
 
 @functools.lru_cache(maxsize=None)
@@ -188,7 +243,8 @@ def _fwd_partitioned(scale, interpret):
         return _call_fwd(q, k, v, scale, interpret)
 
     def infer(mesh, arg_shapes, result_shape):
-        return _bh_sharding(arg_shapes[0], mesh)
+        sh = _bh_sharding(arg_shapes[0], mesh)
+        return (sh, _bh_sharding(arg_shapes[0], mesh, rank=4))
 
     def partition(mesh, arg_shapes, result_shape):
         sh = _bh_sharding(arg_shapes[0], mesh)
@@ -196,13 +252,13 @@ def _fwd_partitioned(scale, interpret):
         def lower(q, k, v):
             return _call_fwd(q, k, v, scale, interpret)
 
-        return mesh, lower, sh, (sh, sh, sh)
+        return mesh, lower, (sh, sh), (sh, sh, sh)
 
     fwd.def_partition(
         partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="b h n d, b h n d, b h n d -> b h n d",
-        need_replication_factors=("n", "d"),
+        sharding_rule="b h n d, b h n d, b h n d -> b h n d, b h n e",
+        need_replication_factors=("n", "d", "e"),
     )
     return fwd
 
@@ -212,8 +268,8 @@ def _bwd_partitioned(scale, interpret):
     from jax.experimental.custom_partitioning import custom_partitioning
 
     @custom_partitioning
-    def bwd(q, k, v, do):
-        return _call_bwd(q, k, v, do, scale, interpret)
+    def bwd(q, k, v, do, o, lse):
+        return _call_bwd(q, k, v, do, o, lse, scale, interpret)
 
     def infer(mesh, arg_shapes, result_shape):
         sh = _bh_sharding(arg_shapes[0], mesh)
@@ -222,33 +278,35 @@ def _bwd_partitioned(scale, interpret):
     def partition(mesh, arg_shapes, result_shape):
         sh = _bh_sharding(arg_shapes[0], mesh)
 
-        def lower(q, k, v, do):
-            return _call_bwd(q, k, v, do, scale, interpret)
+        def lower(q, k, v, do, o, lse):
+            return _call_bwd(q, k, v, do, o, lse, scale, interpret)
 
-        return mesh, lower, (sh, sh, sh), (sh, sh, sh, sh)
+        return mesh, lower, (sh, sh, sh), (sh, sh, sh, sh, sh, sh)
 
     bwd.def_partition(
         partition,
         infer_sharding_from_operands=infer,
-        sharding_rule="b h n d, b h n d, b h n d, b h n d "
-                      "-> b h n d, b h n d, b h n d",
-        need_replication_factors=("n", "d"),
+        sharding_rule="b h n d, b h n d, b h n d, b h n d, b h n d, "
+                      "b h n e -> b h n d, b h n d, b h n d",
+        need_replication_factors=("n", "d", "e"),
     )
     return bwd
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _dense_attention_bhnd(q, k, v, scale, interpret):
-    return _fwd_partitioned(scale, interpret)(q, k, v)
+    o, _lse = _fwd_partitioned(scale, interpret)(q, k, v)
+    return o
 
 
 def _vjp_fwd(q, k, v, scale, interpret):
-    return _fwd_partitioned(scale, interpret)(q, k, v), (q, k, v)
+    o, lse = _fwd_partitioned(scale, interpret)(q, k, v)
+    return o, (q, k, v, o, lse)
 
 
 def _vjp_bwd(scale, interpret, res, do):
-    q, k, v = res
-    dq, dk, dv = _bwd_partitioned(scale, interpret)(q, k, v, do)
+    q, k, v, o, lse = res
+    dq, dk, dv = _bwd_partitioned(scale, interpret)(q, k, v, do, o, lse)
     return dq, dk, dv
 
 
@@ -259,7 +317,13 @@ def dense_attention(q, k, v, scale, interpret: bool = False):
     """Whole-row Pallas attention. q/k/v: [B, N, H, D] (the framework's
     attention layout); returns [B, N, H, D]. Requires n_q == n_kv <=
     MAX_DENSE_SEQ (shape-checked by the caller). Partitions over batch
-    and heads under pjit/GSPMD (custom_partitioning above)."""
+    and heads under pjit/GSPMD (custom_partitioning above). The BNHD ->
+    BHND transposes here are REAL HBM copies (~6 ms/step over the
+    SetVAE's attentions) but every alternative measured worse: a 4-D
+    one-plane-per-grid-step Pallas variant is not lowerable (Mosaic
+    requires the last two block dims (8, 128)-aligned or full), and
+    reshaped-weight einsum projections emitting [B, H, N, D] directly
+    made XLA materialize MORE copies (70.1 vs 69.1 ms device step)."""
     b, n, h, d = q.shape
     to_bhnd = lambda a: a.transpose(0, 2, 1, 3)
     out = _dense_attention_bhnd(to_bhnd(q), to_bhnd(k), to_bhnd(v), scale, interpret)

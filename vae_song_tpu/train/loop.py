@@ -26,10 +26,12 @@ from vae_song_tpu import viz
 
 def _compute_fid(test_ds, generated: np.ndarray, chunk: int = 256):
     """FID between the test set and generated samples (main.py:349-360
-    analogue), computed in-process with a fixed seeded random-conv
-    feature embedding — NOT InceptionV3, whose weights cannot be
-    fetched on a no-egress box; scores are self-consistent across runs
-    of this framework but not comparable to Inception-FID numbers.
+    analogue), computed in-process. With $VST_FID_WEIGHTS pointing at a
+    local InceptionV3 checkpoint, features come from the pool3 graph
+    (ops/inception.py) and scores are pytorch_fid-comparable; without
+    weights (no-egress boxes) a fixed seeded random-conv embedding is
+    used — self-consistent across runs of this framework but not
+    comparable to Inception-FID numbers.
 
     The reference shells out to `pytorch_fid` against a `../<dataset>/`
     directory that only exists in its author's checkout; that path is
@@ -37,14 +39,16 @@ def _compute_fid(test_ds, generated: np.ndarray, chunk: int = 256):
     from vae_song_tpu.ops import fid as fid_lib
 
     real = np.asarray(test_ds.X[:5000], np.float32)
-    extractor = fid_lib.make_conv_feature_extractor(real.shape[1:], seed=0)
+    extractor, is_inception = fid_lib.default_extractor(real.shape[1:], seed=0)
 
     def chunks(a):
         for i in range(0, len(a), chunk):
             yield a[i : i + chunk]
 
     score = fid_lib.fid_score(extractor, chunks(real), chunks(generated))
-    print(f"FID (seeded random-conv features, non-Inception): {score:.4f}")
+    tag = ("InceptionV3 pool3, $VST_FID_WEIGHTS — pytorch_fid-comparable"
+           if is_inception else "seeded random-conv features, non-Inception")
+    print(f"FID ({tag}): {score:.4f}")
     return score
 
 
@@ -275,18 +279,26 @@ def train_and_test(
         # an explicit native_prefetch request keeps the C++ loader path;
         # the device-resident multistep path would never invoke it
         and not native_prefetch
-        # set models: the step is ~88 ms of real compute, so the 10-20 ms
-        # relay dispatch is a ~15% tax, not 10x — only worth the
-        # K-unrolled compile (~25 s/step remote) on long runs
-        and (not is_set or epochs - start_epoch >= 20)
     ):
         from vae_song_tpu.train.steps import pick_multistep_k
 
         multi_k = pick_multistep_k(steps_per_epoch, is_set)
         if multi_k > 1:
-            from vae_song_tpu.train.steps import make_multistep_train_step
+            if is_set:
+                # set models: lax.scan body — compiles ONCE regardless
+                # of K (the unrolled variant re-lowers the transformer
+                # K times, ~25 s/step remote), and set models carry no
+                # conv-in-scan penalty. 70.2 ms/step wall at K=9 vs
+                # 74.4 single-dispatch on v5e (train/steps.py).
+                from vae_song_tpu.train.steps import (
+                    make_scanned_multistep_train_step as _make_ms,
+                )
+            else:
+                from vae_song_tpu.train.steps import (
+                    make_multistep_train_step as _make_ms,
+                )
 
-            multi_step = make_multistep_train_step(
+            multi_step = _make_ms(
                 model, tx, multi_k, L=num_mc_samples, augment=augment
             )
             train_X_multistep = jnp.asarray(train_ds.X)

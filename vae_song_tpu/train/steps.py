@@ -145,9 +145,11 @@ def pick_multistep_k(steps_per_epoch: int, is_set: bool) -> int:
     keeps growing past 16 (measured: K=6 77k, K=15 136k, K=24 171k
     samples/sec on the bench model) while compile cost grows ~7 s/step
     remote — 24 balances one-time compile vs steady state for
-    100-epoch runs. Set models cap at 4: their ~80 ms step makes the
-    dispatch tax a ~15% effect, and per-step compile is ~3x."""
-    k_hi = 4 if is_set else 24
+    100-epoch runs. Set models route through the lax.scan multistep
+    (make_scanned_multistep_train_step — compile cost flat in K), so
+    their cap is 32: past that the dispatch tax is <0.15 ms/step and
+    larger K only delays the per-dispatch host metric fetch."""
+    k_hi = 32 if is_set else 24
     return max(
         (k for k in range(2, k_hi + 1) if steps_per_epoch % k == 0),
         default=1,
@@ -200,6 +202,59 @@ def make_multistep_train_step(model, tx, n_steps: int, L: int = 1,
             acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
         metrics = {k: v / n_steps for k, v in acc.items()}
         metrics["raw_kl"] = raw_kl
+        return state, metrics
+
+    return multi_step
+
+
+def make_scanned_multistep_train_step(model, tx, n_steps: int, L: int = 1,
+                                      grad_mode: str | None = None,
+                                      augment=None) -> Callable:
+    """K optimizer steps per dispatch via lax.scan — the set-model
+    variant of make_multistep_train_step.
+
+    The unrolled multistep pays ~compile-time x K (it re-lowers the
+    whole transformer K times), which caps set models at K<=4
+    (pick_multistep_k). A lax.scan body compiles ONCE regardless of K,
+    so set models can amortize the relay dispatch tax over K=16+ steps:
+    measured on v5e at the ShapeNet config (B=64, N=2048, bf16), K=9
+    scan: 69.8 ms/step wall vs 74.4 single-dispatch, compile 105 s
+    (same as K=1). Conv models must NOT use this (conv-inside-scan
+    de-optimizes ~20x on TPU, see train/scan.py note) — the Pallas
+    attention/chamfer custom calls and Dense matmuls carry no such
+    penalty (same per-step device time as unrolled, profiled).
+
+    Same signature/semantics as make_multistep_train_step:
+    step(state, X, idx, wu_alpha, rngs, aug_keys) -> (state, metrics),
+    metrics are K-step means except raw_kl (last step's, model.py:614
+    last-batch semantics for kl_adaptive warmup).
+    """
+    grads_fn = make_grads_fn(model, L, grad_mode)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def multi_step(state: TrainState, X, idx, wu_alpha, rngs, aug_keys):
+        def body(st, per_step):
+            ix, rng, ak = per_step
+            x = X[ix]
+            if augment is not None:
+                x = augment(ak, x)
+            grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
+                st.params, st.batch_stats, x, wu_alpha, rng
+            )
+            updates, new_opt_state = tx.update(grads, st.opt_state, st.params)
+            new_params = jax.tree.map(lambda p, u: p + u, st.params, updates)
+            st = st.replace(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt_state,
+                step=st.step + 1,
+            )
+            return st, {"loss": total, "recon": rec, "reg": reg_s,
+                        "lr": lr_s, "raw_kl": raw_kl}
+
+        state, ms = jax.lax.scan(body, state, (idx, rngs, aug_keys))
+        metrics = {k: v.mean() for k, v in ms.items() if k != "raw_kl"}
+        metrics["raw_kl"] = ms["raw_kl"][-1]
         return state, metrics
 
     return multi_step
