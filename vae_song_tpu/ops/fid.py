@@ -1,4 +1,5 @@
-"""Frechet Inception Distance — the metric math, extractor-agnostic.
+"""Frechet Inception Distance — the metric math, extractor-agnostic,
+with an Inception-comparable path when local weights are available.
 
 The reference shells out to the external `pytorch_fid` package
 (main.py:349-360) and only when generation-only mode runs. Here the
@@ -6,12 +7,17 @@ Frechet distance itself is implemented (and tested) locally:
 
     FID = ||mu1 - mu2||^2 + Tr(C1 + C2 - 2 (C1 C2)^{1/2})
 
-`fid_from_features` takes any two feature batches; `fid_score` plugs in
-a feature extractor callable (an InceptionV3 cannot be downloaded in
-no-egress environments, so the extractor is an argument — any jitted
-embedding function works, including a model's own encoder for
-relative comparisons).
+Extractor selection (`default_extractor`):
+  * env `VST_FID_WEIGHTS=<path>` (or an explicit weights_path) -> the
+    InceptionV3 pool3 graph in JAX (ops/inception.py) loading those
+    torchvision-named weights — scores are then comparable to
+    published pytorch_fid numbers.
+  * otherwise -> the seeded random-conv embedding below: scores are
+    self-consistent within this framework but NOT comparable to
+    Inception-FID (weights cannot be downloaded on a no-egress box).
 """
+
+import os
 
 import numpy as np
 from scipy import linalg
@@ -49,6 +55,23 @@ def fid_score(extractor, real_batches, fake_batches) -> float:
     fr = np.concatenate([np.asarray(extractor(b)) for b in real_batches])
     ff = np.concatenate([np.asarray(extractor(b)) for b in fake_batches])
     return fid_from_features(fr, ff)
+
+
+def default_extractor(image_shape, seed: int = 0,
+                      weights_path: str | None = None):
+    """Inception pool3 features when weights are available (explicit
+    path or $VST_FID_WEIGHTS), else the seeded random-conv fallback.
+    Returns (extractor, is_inception)."""
+    path = weights_path or os.environ.get("VST_FID_WEIGHTS")
+    if path:
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"VST_FID_WEIGHTS points to a missing file: {path}"
+            )
+        from vae_song_tpu.ops.inception import InceptionV3Features
+
+        return InceptionV3Features(path), True
+    return make_conv_feature_extractor(image_shape, seed=seed), False
 
 
 def make_conv_feature_extractor(image_shape, seed: int = 0, feature_dim: int = 64):
