@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""Protocol-B Lipschitz/KL grid with 4-seed bands (VERDICT r2 item 5).
+
+Re-runs the reference's 27 committed cells (alpha x beta grid of
+res_share/vis_lip_kl_exp_scc, exp_lip_lrvae.sh protocol with the
+2-component data visible in the committed train_distribution_2d.png)
+for seeds 42-45, through the in-process sweep runner (one compiled
+program reused across all 108 points). ~75 min/seed on one v5e chip.
+
+Usage:
+  python scripts/lip_grid_protocolB_seeds.py --output_root /root/lipgrid_r3 \
+      [--seeds 42 43 44 45]
+
+Summarize afterwards with scripts/lip_band_table.py.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the 27 committed cells' grid (reference res_share/vis_lip_kl_exp_scc:
+# alpha_<a>_beta_<b> directories)
+ALPHAS = [0.0, 0.0001, 0.001, 0.01, 0.1, 0.2, 0.3, 0.4, 1.0]
+BETAS = [0.1, 0.2, 1.0]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output_root", required=True)
+    ap.add_argument("--seeds", nargs="+", type=int, default=[42, 43, 44, 45])
+    ap.add_argument("--epochs", type=int, default=1000)
+    args = ap.parse_args()
+
+    from vae_song_tpu.parallel.sweep import run_sweep
+
+    results = run_sweep(
+        model="lrvae",
+        alphas=tuple(ALPHAS),
+        betas=tuple(BETAS),
+        seeds=tuple(args.seeds),
+        epochs=args.epochs,
+        output_root=args.output_root,
+        extra_args=("--num_training_components", "2"),  # protocol B
+    )
+    with open(os.path.join(args.output_root, "sweep_summary.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    n_ok = sum(1 for r in results if r.get("ok"))
+    print(f"done: {n_ok}/{len(results)} points ok -> {args.output_root}")
+
+
+if __name__ == "__main__":
+    main()
