@@ -1,0 +1,157 @@
+"""MoE-FFN set models (models/setvae.py `moe_experts` + nn/moe.py) and
+their expert-parallel training path (parallel/ep.py:
+make_setvae_ep_train_step), on the 8-way virtual CPU mesh.
+
+Parity argument for the EP test: data parallelism with the DENSE MoE
+evaluation (all experts local, routing per batch shard) computes
+mathematically the same step as expert parallelism (experts sharded,
+all_to_all token exchange) — per-shard routing/capacity are identical,
+DP's pmean of per-shard expert grads equals EP's locally-complete
+gradient divided by E, and both fold the sampling rng by shard index.
+So one step under make_dp_train_step must match one step under
+make_setvae_ep_train_step to float tolerance, even when capacity binds.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vae_song_tpu.models import SetVAE, SetLRVAE, build_model
+from vae_song_tpu.parallel.ep import (
+    EXPERT_AXIS,
+    make_ep_mesh,
+    make_setvae_ep_train_step,
+    make_setvae_ep_eval_step,
+    setvae_ep_specs,
+    shard_setvae_ep_state,
+)
+from vae_song_tpu.parallel.mesh import make_mesh, replicate_state, shard_batch
+from vae_song_tpu.parallel import make_dp_train_step
+from vae_song_tpu.train.state import TrainState, make_optimizer
+from vae_song_tpu.train.loop import init_model
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+E = 4
+TINY = dict(
+    latent_channel=8,
+    num_points=16,
+    d_model=16,
+    num_heads=2,
+    num_encoder_layers=1,
+    num_decoder_layers=1,
+    ff_dim=32,
+    beta=0.1,
+    moe_experts=E,
+)
+
+
+def _state(model, x, tx):
+    params, batch_stats = init_model(model, x, seed=0)
+    return TrainState.create(params, batch_stats, tx)
+
+
+def test_moe_setvae_forward_and_loss(key):
+    m = SetVAE(**TINY)
+    x = np.random.default_rng(0).normal(size=(4, 16, 3)).astype(np.float32)
+    params, bs = init_model(m, x, seed=0)
+    # every transformer layer carries a stacked expert FFN
+    flat = jax.tree_util.tree_flatten_with_path(params)[0]
+    moe_w1 = [v for p, v in flat if any(getattr(e, "key", "") == "w1" for e in p)]
+    assert len(moe_w1) == 2  # 1 encoder layer + 1 decoder layer
+    assert all(v.shape == (E, 16, 32) for v in moe_w1)
+    outs = m.apply(
+        {"params": params, "batch_stats": bs}, x, train=False,
+        rngs={"sampling": key},
+    )
+    recon = outs[0]
+    assert recon.shape == (4, 16, 3)
+    total, rec, reg, lr = m.loss(x, *outs)
+    assert np.isfinite(float(total))
+
+
+def test_moe_setlrvae_trains_single_device(key):
+    m = SetLRVAE(alpha=0.01, **TINY)
+    x = np.random.default_rng(1).normal(size=(4, 16, 3)).astype(np.float32)
+    tx = make_optimizer(lr=1e-3)
+    state = _state(m, x, tx)
+    from vae_song_tpu.train.steps import make_train_step
+
+    step = make_train_step(m, tx)
+    state2, metrics = step(state, jnp.asarray(x), jnp.float32(1.0), key)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["lr"]))
+
+
+def test_ep_step_matches_dp_dense_step(key):
+    m = SetVAE(**TINY)
+    x = np.random.default_rng(2).normal(size=(8, 16, 3)).astype(np.float32)
+    tx = make_optimizer(lr=1e-3)
+    base = _state(m, jnp.asarray(x[:4]), tx)
+    # the DP step donates its input state whose replicated placement can
+    # alias base's buffers — give each path its own copy
+    base_ep = jax.tree.map(lambda v: jnp.array(v), base)
+
+    # DP over 4 devices, dense MoE per shard
+    dp_mesh = make_mesh(n_data=E)
+    dp_state = replicate_state(base, dp_mesh)
+    dp_step = make_dp_train_step(m, tx, dp_mesh)
+    x_dp = shard_batch(jnp.asarray(x), dp_mesh)
+    dp_state2, dp_metrics = dp_step(dp_state, x_dp, jnp.float32(0.0), key)
+
+    # EP over 4 devices, all_to_all MoE — DP's axis is named 'data',
+    # EP's 'expert'; both fold the rng by axis index so shards draw the
+    # same eps
+    ep_mesh = make_ep_mesh(E)
+    ep_state = shard_setvae_ep_state(base_ep, ep_mesh)
+    ep_step = make_setvae_ep_train_step(m, tx, ep_mesh, base_ep)
+    x_ep = jax.device_put(
+        jnp.asarray(x), NamedSharding(ep_mesh, P(EXPERT_AXIS))
+    )
+    ep_state2, ep_metrics = ep_step(ep_state, x_ep, jnp.float32(0.0), key)
+
+    assert np.isclose(
+        float(dp_metrics["loss"]), float(ep_metrics["loss"]), rtol=1e-5
+    )
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()),
+        dp_state2.params,
+        ep_state2.params,
+    )
+    assert max(jax.tree.leaves(deltas)) < 1e-5
+
+
+def test_ep_eval_step(key):
+    m = SetVAE(**TINY)
+    x = np.random.default_rng(3).normal(size=(8, 16, 3)).astype(np.float32)
+    tx = make_optimizer(lr=1e-3)
+    base = _state(m, jnp.asarray(x[:4]), tx)
+    ep_mesh = make_ep_mesh(E)
+    ep_state = shard_setvae_ep_state(base, ep_mesh)
+    eval_step = make_setvae_ep_eval_step(m, ep_mesh, base)
+    x_ep = jax.device_put(jnp.asarray(x), NamedSharding(ep_mesh, P(EXPERT_AXIS)))
+    metrics = eval_step(ep_state, x_ep, jnp.float32(0.0), key)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_ep_specs_shard_only_expert_stacks():
+    m = SetVAE(**TINY)
+    x = np.zeros((2, 16, 3), np.float32)
+    params, _ = init_model(m, x, seed=0)
+    specs = setvae_ep_specs(params)
+    flat = jax.tree_util.tree_flatten_with_path(specs)[0]
+    for path, spec in flat:
+        names = [getattr(e, "key", "") for e in path]
+        if names[-1] in ("w1", "b1", "w2", "b2"):
+            assert spec == P(EXPERT_AXIS), path
+        else:
+            assert spec == P(), path
+
+
+def test_build_model_moe_key():
+    m = build_model(
+        "setlrvae", "shapenet",
+        {"moe_experts": 2, "num_points": 16, "d_model": 16, "ff_dim": 32,
+         "num_heads": 2},
+        beta=0.1, alpha=0.01,
+    )
+    assert m.moe_experts == 2 and m.moe_capacity_factor == 1.25

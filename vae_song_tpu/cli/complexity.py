@@ -50,6 +50,24 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     eval_step = make_eval_step(model)
 
     one = jnp.float32(1.0)
+
+    # warm BOTH programs OUTSIDE the timed regions: the torch reference
+    # has no compile phase, so including our remote XLA compile
+    # (~60-120 s, relay-weather dependent — both of the round-2 table's
+    # outliers were exactly this) would time the compiler, not the
+    # model. The train warm-up runs on a throwaway deep copy because the
+    # step donates its input state; timings close with a scalar fetch
+    # (block_until_ready returns early on chained work here).
+    rng, warm_key = jax.random.split(rng)
+    x0 = jnp.asarray(train_ds.X[:batch_size])
+    _wstate, _wm = train_step(
+        jax.tree.map(jnp.array, state), x0, one, warm_key
+    )
+    _ = float(_wm["loss"])
+    del _wstate
+    _warm = eval_step(state, jnp.asarray(test_ds.X[:batch_size]), one, warm_key)
+    _ = float(_warm["loss"])
+
     mem0, dev0 = get_memory_usage_mb(), get_device_memory_usage_mb()
     t0 = time.time()
     for epoch in range(epochs):
@@ -60,7 +78,8 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
                             augment_key=aug_key)
         ):
             state, m = train_step(state, x, one, step_keys[i])
-    jax.block_until_ready(m["loss"])
+    _ = float(m["loss"])  # scalar fetch: block_until_ready returns
+    # early on chained work on this relay (CLAUDE.md)
     train_time = time.time() - t0
     train_mem = max(0.0, get_memory_usage_mb() - mem0)
     train_dev = max(0.0, get_device_memory_usage_mb() - dev0)

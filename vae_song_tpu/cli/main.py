@@ -63,6 +63,9 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             # model_params key: run the attention SetVAE encoder stack
             # as GPipe stages over N devices (parallel/pp_setvae.py)
             pipeline_parallel=int(mp.get("pipeline_parallel", 0)),
+            # model_params key: shard a MoE set model's experts
+            # one-per-device with all_to_all exchange (parallel/ep.py)
+            expert_parallel=bool(mp.get("expert_parallel", False)),
         )
         results.append(summary)
     return results

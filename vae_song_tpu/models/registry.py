@@ -83,6 +83,8 @@ def build_model(
             attn_dropout=mp.get("attn_dropout", 0.0),
             mixed_precision=mp.get("mixed_precision", False),
             use_flash=mp.get("use_flash", False),
+            moe_experts=mp.get("moe_experts", 0),
+            moe_capacity_factor=mp.get("moe_capacity_factor", 1.25),
         )
         if exp_type == "setlrvae":
             return SetLRVAE(alpha=alpha, **kwargs)

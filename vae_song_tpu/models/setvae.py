@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from vae_song_tpu.nn.blocks import Dense, BatchNorm
+from vae_song_tpu.nn.moe import MoEFFN
 from vae_song_tpu.ops import losses
 from vae_song_tpu.ops.chamfer import best_chamfer
 from vae_song_tpu.ops.attention import MultiHeadAttention
@@ -39,6 +40,10 @@ class TransformerEncoderLayer(nn.Module):
     compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
     use_flash: bool = False
     seq_axis: str | None = None  # sequence-parallel self-attention
+    moe_experts: int = 0  # >0: MoE FFN instead of the dense two-layer FFN
+    moe_capacity_factor: float = 1.25
+    ep_axis: str | None = None  # expert-parallel mesh axis (parallel/ep.py)
+    moe_local_experts: int | None = None  # EP clone: sliced expert dim
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -55,10 +60,20 @@ class TransformerEncoderLayer(nn.Module):
         # fwd+bwd at the ShapeNet shapes, the single largest cost in the
         # round-2 step breakdown
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)(x + attn)
-        ff = Dense(self.ff_dim, dtype=self.compute_dtype)(x)
-        ff = nn.Dropout(self.dropout_rate)(nn.relu(ff), deterministic=det)
-        ff = Dense(self.d_model, dtype=self.compute_dtype)(ff)
-        ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
+        if self.moe_experts > 0:
+            ff = MoEFFN(
+                d_model=self.d_model, ff_dim=self.ff_dim,
+                n_experts=self.moe_experts,
+                capacity_factor=self.moe_capacity_factor,
+                compute_dtype=self.compute_dtype, ep_axis=self.ep_axis,
+                local_experts=self.moe_local_experts,
+            )(x)
+            ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
+        else:
+            ff = Dense(self.ff_dim, dtype=self.compute_dtype)(x)
+            ff = nn.Dropout(self.dropout_rate)(nn.relu(ff), deterministic=det)
+            ff = Dense(self.d_model, dtype=self.compute_dtype)(ff)
+            ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)(x + ff)
 
 
@@ -80,6 +95,10 @@ class TransformerDecoderLayer(nn.Module):
     use_flash: bool = False
     seq_axis: str | None = None  # sequence-parallel SELF-attention only:
     # cross-attention's kv is the replicated length-1 memory token
+    moe_experts: int = 0  # >0: MoE FFN instead of the dense two-layer FFN
+    moe_capacity_factor: float = 1.25
+    ep_axis: str | None = None
+    moe_local_experts: int | None = None
 
     def setup(self):
         self.self_attn = MultiHeadAttention(
@@ -96,8 +115,17 @@ class TransformerDecoderLayer(nn.Module):
         self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)
         self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)
         self.norm3 = nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)
-        self.ff_up = Dense(self.ff_dim, dtype=self.compute_dtype)
-        self.ff_down = Dense(self.d_model, dtype=self.compute_dtype)
+        if self.moe_experts > 0:
+            self.moe_ffn = MoEFFN(
+                d_model=self.d_model, ff_dim=self.ff_dim,
+                n_experts=self.moe_experts,
+                capacity_factor=self.moe_capacity_factor,
+                compute_dtype=self.compute_dtype, ep_axis=self.ep_axis,
+                local_experts=self.moe_local_experts,
+            )
+        else:
+            self.ff_up = Dense(self.ff_dim, dtype=self.compute_dtype)
+            self.ff_down = Dense(self.d_model, dtype=self.compute_dtype)
         self.drop = nn.Dropout(self.dropout_rate)
 
     def self_attn_block(self, tgt, train: bool = False):
@@ -111,9 +139,12 @@ class TransformerDecoderLayer(nn.Module):
         ca = self.cross_attn(tgt, memory, train)
         ca = self.drop(ca, deterministic=det)
         tgt = self.norm2(tgt + ca)
-        ff = self.ff_up(tgt)
-        ff = self.drop(nn.relu(ff), deterministic=det)
-        ff = self.ff_down(ff)
+        if self.moe_experts > 0:
+            ff = self.moe_ffn(tgt)
+        else:
+            ff = self.ff_up(tgt)
+            ff = self.drop(nn.relu(ff), deterministic=det)
+            ff = self.ff_down(ff)
         ff = self.drop(ff, deterministic=det)
         return self.norm3(tgt + ff)
 
@@ -156,6 +187,10 @@ class SetEncoderAttn(nn.Module):
     compute_dtype: object = None
     use_flash: bool = False
     seq_axis: str | None = None
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    ep_axis: str | None = None
+    moe_local_experts: int | None = None
 
     @nn.compact
     def __call__(self, points, train: bool = False):
@@ -164,7 +199,10 @@ class SetEncoderAttn(nn.Module):
             x = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
-                seq_axis=self.seq_axis,
+                seq_axis=self.seq_axis, moe_experts=self.moe_experts,
+                moe_capacity_factor=self.moe_capacity_factor,
+                ep_axis=self.ep_axis,
+                moe_local_experts=self.moe_local_experts,
             )(x, train)
         s = x.max(axis=1)  # AdaptiveMaxPool1d(1) over points
         if self.seq_axis is not None:
@@ -218,6 +256,10 @@ class SetDecoderAttn(nn.Module):
     compute_dtype: object = None
     use_flash: bool = False
     seq_axis: str | None = None
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    ep_axis: str | None = None
+    moe_local_experts: int | None = None
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -242,7 +284,10 @@ class SetDecoderAttn(nn.Module):
             TransformerDecoderLayer(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
-                seq_axis=self.seq_axis,
+                seq_axis=self.seq_axis, moe_experts=self.moe_experts,
+                moe_capacity_factor=self.moe_capacity_factor,
+                ep_axis=self.ep_axis,
+                moe_local_experts=self.moe_local_experts,
             )
             for _ in range(self.num_layers)
         ]
@@ -303,6 +348,17 @@ class SetVAE(nn.Module):
     # sharded Chamfer. Attention models only (DeepSets BN stats would
     # need cross-shard sync).
     seq_axis: str | None = None
+    # moe_experts: >0 swaps every transformer FFN for a Switch-style
+    # top-1 MoE (nn/moe.py). Single-device the experts evaluate locally;
+    # under expert parallelism (parallel/ep.py:make_setvae_ep_train_step)
+    # the model is cloned with ep_axis='expert' + moe_local_experts=1
+    # and expert FFNs exchange tokens via all_to_all over ICI. The
+    # reference has no MoE — this is the TPU scaling surface for the
+    # set-transformer FFNs.
+    moe_experts: int = 0
+    moe_capacity_factor: float = 1.25
+    ep_axis: str | None = None
+    moe_local_experts: int | None = None
 
     def setup(self):
         cdt = jnp.bfloat16 if self.mixed_precision else None
@@ -311,6 +367,11 @@ class SetVAE(nn.Module):
                 "sequence parallelism is implemented for the attention "
                 "set models (use_attention=True); the DeepSets encoder's "
                 "BatchNorm statistics are not synced across point shards"
+            )
+        if self.moe_experts > 0 and not self.use_attention:
+            raise NotImplementedError(
+                "moe_experts applies to the attention set models' "
+                "transformer FFNs (use_attention=True)"
             )
         if self.use_attention:
             self.encoder = SetEncoderAttn(
@@ -323,6 +384,10 @@ class SetVAE(nn.Module):
                 compute_dtype=cdt,
                 use_flash=self.use_flash,
                 seq_axis=self.seq_axis,
+                moe_experts=self.moe_experts,
+                moe_capacity_factor=self.moe_capacity_factor,
+                ep_axis=self.ep_axis,
+                moe_local_experts=self.moe_local_experts,
             )
             self.decoder = SetDecoderAttn(
                 latent_dim=self.latent_channel,
@@ -335,6 +400,10 @@ class SetVAE(nn.Module):
                 compute_dtype=cdt,
                 use_flash=self.use_flash,
                 seq_axis=self.seq_axis,
+                moe_experts=self.moe_experts,
+                moe_capacity_factor=self.moe_capacity_factor,
+                ep_axis=self.ep_axis,
+                moe_local_experts=self.moe_local_experts,
             )
         else:
             self.encoder = SetEncoder(

@@ -14,8 +14,10 @@ from vae_song_tpu.nn.blocks import (
     ICNN,
     LinearModuleEP,
 )
+from vae_song_tpu.nn.moe import MoEFFN
 
 __all__ = [
+    "MoEFFN",
     "torch_linear_kernel_init",
     "torch_bias_init",
     "torch_positive_linear_init",

@@ -264,3 +264,151 @@ def make_ep_train_step(tx, mesh: Mesh, n_experts: int, example_params: MoEParams
         check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0, 1))
+
+
+# ---------------------------------------------------------------------------
+# Model-zoo integration: expert-parallel SetVAE / SetLRVAE training.
+#
+# The attention set models accept `moe_experts=E` (models/setvae.py), which
+# swaps every transformer FFN for nn/moe.py's MoEFFN. Single-device the
+# experts evaluate via moe_ffn_dense; here the SAME parameter tree trains
+# expert-parallel: batch sharded over the 'expert' axis (so the non-MoE
+# parts run data-parallel), expert stacks sharded one-per-device, tokens
+# exchanged through moe_ffn_ep's all_to_all.
+#
+# Gradient convention (same as make_ep_train_step above): device e's AD
+# gradient for its expert slice already sums every device's per-shard-mean
+# loss contribution (cotangents arrive through the all_to_all transpose),
+# so expert grads need only the 1/E global-mean scaling and NO collective;
+# everything else (attention, LN, router, latent heads) is replicated and
+# takes a pmean.
+# ---------------------------------------------------------------------------
+
+
+def _leaf_name(path) -> str:
+    for entry in reversed(path):
+        n = getattr(entry, "key", None)
+        if not isinstance(n, str):
+            n = getattr(entry, "name", None)
+        if isinstance(n, str):
+            return n
+    return ""
+
+
+def _is_expert_leaf(path) -> bool:
+    """MoEFFN expert-stack leaves. The names w1/b1/w2/b2 exist only inside
+    MoEFFN modules (nn/moe.py) — flax Dense uses kernel/bias, LayerNorm
+    scale/bias, and the MoE router is 'router' (replicated)."""
+    return _leaf_name(path) in ("w1", "b1", "w2", "b2")
+
+
+def setvae_ep_specs(tree):
+    """PartitionSpec tree for a params / TrainState / grads tree: MoEFFN
+    expert stacks on 'expert' (leading [E, ...] dim), all else replicated."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, _: P(EXPERT_AXIS) if _is_expert_leaf(path) else P(), tree
+    )
+
+
+def shard_setvae_ep_state(state, mesh: Mesh):
+    """Place a TrainState on the EP mesh per setvae_ep_specs (adam mu/nu
+    inherit the params' expert shardings through their leaf names)."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x,
+            NamedSharding(mesh, P(EXPERT_AXIS) if _is_expert_leaf(path) else P()),
+        ),
+        state,
+    )
+
+
+def make_setvae_ep_train_step(model, tx, mesh: Mesh, example_state, L: int = 1):
+    """Expert-parallel train step for an attention SetVAE/SetLRVAE with
+    moe_experts == mesh.shape['expert'] (one expert per device).
+
+    step(state, x_sharded, wu_alpha, rng) -> (state, metrics)
+    `x` sharded P('expert') along the batch axis; state per
+    shard_setvae_ep_state. Step-for-step parity with the single-device
+    dense step whenever expert capacity does not bind
+    (tests/test_moe_setvae.py)."""
+    from vae_song_tpu.train.steps import make_grads_fn
+
+    n_exp = mesh.shape[EXPERT_AXIS]
+    if getattr(model, "moe_experts", 0) != n_exp:
+        raise ValueError(
+            f"model.moe_experts={getattr(model, 'moe_experts', 0)} must equal "
+            f"the 'expert' mesh axis size ({n_exp}): one expert per device"
+        )
+    if not getattr(model, "use_attention", True):
+        raise NotImplementedError("expert parallelism needs the attention set models")
+    ep_model = model.clone(ep_axis=EXPERT_AXIS, moe_local_experts=1)
+    grads_fn = make_grads_fn(ep_model, L)
+
+    def per_device(state, x, wu_alpha, rng):
+        # decorrelate the sampling eps across batch shards
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(EXPERT_AXIS))
+        grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
+            state.params, state.batch_stats, x, wu_alpha, rng
+        )
+        grads = jax.tree_util.tree_map_with_path(
+            lambda path, g: g / n_exp if _is_expert_leaf(path)
+            else lax.pmean(g, EXPERT_AXIS),
+            grads,
+        )
+        new_bs = lax.pmean(new_bs, EXPERT_AXIS)
+        metrics = lax.pmean(
+            {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s,
+             "raw_kl": raw_kl},
+            EXPERT_AXIS,
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        return new_state, metrics
+
+    state_specs = setvae_ep_specs(example_state)
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(state_specs, P(EXPERT_AXIS), P(), P()),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def make_setvae_ep_eval_step(model, mesh: Mesh, example_state, L: int = 1):
+    """Expert-parallel eval step: batch sharded over 'expert', metrics
+    pmean'd to the global batch mean."""
+    n_exp = mesh.shape[EXPERT_AXIS]
+    if getattr(model, "moe_experts", 0) != n_exp:
+        raise ValueError("model.moe_experts must equal the 'expert' axis size")
+    ep_model = model.clone(ep_axis=EXPERT_AXIS, moe_local_experts=1)
+
+    def per_device(state, x, wu_alpha, rng):
+        rng = jax.random.fold_in(rng, jax.lax.axis_index(EXPERT_AXIS))
+        outs = ep_model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+            rngs={"sampling": rng},
+        )
+        total, rec, reg_s, lr_s = ep_model.loss(x, *outs, wu_alpha=wu_alpha)
+        return lax.pmean(
+            {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}, EXPERT_AXIS
+        )
+
+    state_specs = setvae_ep_specs(example_state)
+    sharded = jax.shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(state_specs, P(EXPERT_AXIS), P(), P()),
+        out_specs=P(),
+        check_vma=False,
+    )
+    return jax.jit(sharded)

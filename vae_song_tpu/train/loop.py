@@ -102,6 +102,7 @@ def train_and_test(
     data_parallel: bool = False,
     native_prefetch: bool = False,
     pipeline_parallel: int = 0,
+    expert_parallel: bool = False,
 ):
     """Returns (state, summary dict).
 
@@ -118,6 +119,11 @@ def train_and_test(
     GPipe pipeline stages over that many devices
     (parallel/pp_setvae.py); params merge back for eval/checkpoints.
     Config key `pipeline_parallel` in model_params (cli/main.py).
+    expert_parallel: train a MoE set model (moe_experts > 1) with its
+    experts sharded one-per-device and all_to_all token exchange
+    (parallel/ep.py:make_setvae_ep_train_step); batch sharded over the
+    'expert' axis so the non-MoE parts run data-parallel. Config key
+    `expert_parallel` in model_params (cli/main.py).
     """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
@@ -244,6 +250,45 @@ def train_and_test(
     mesh = None
     if pipeline_parallel and pipeline_parallel > 1:
         pass  # steps built above
+    elif expert_parallel:
+        n_exp = int(getattr(model, "moe_experts", 0))
+        if data_parallel:
+            raise ValueError("expert_parallel and data_parallel are exclusive")
+        if n_exp < 2:
+            raise ValueError(
+                "expert_parallel needs a MoE set model (model_params key "
+                f"moe_experts >= 2; got {n_exp})"
+            )
+        if jax.device_count() < n_exp:
+            raise ValueError(
+                f"expert_parallel needs moe_experts={n_exp} devices; "
+                f"have {jax.device_count()}"
+            )
+        if batch_size % n_exp != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must divide over {n_exp} experts"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+        from vae_song_tpu.parallel.ep import (
+            EXPERT_AXIS, make_ep_mesh, make_setvae_ep_train_step,
+            make_setvae_ep_eval_step, shard_setvae_ep_state,
+        )
+
+        ep_mesh = make_ep_mesh(n_exp)
+        ep_train = make_setvae_ep_train_step(
+            model, tx, ep_mesh, state, L=num_mc_samples
+        )
+        ep_eval = make_setvae_ep_eval_step(
+            model, ep_mesh, state, L=num_mc_samples
+        )
+        state = shard_setvae_ep_state(state, ep_mesh)
+        ep_x_sharding = NamedSharding(ep_mesh, PartitionSpec(EXPERT_AXIS))
+
+        def train_step(state, x, wu, key):
+            return ep_train(state, jax.device_put(x, ep_x_sharding), wu, key)
+
+        def eval_step(state, x, wu, key):
+            return ep_eval(state, jax.device_put(x, ep_x_sharding), wu, key)
     elif data_parallel and jax.device_count() > 1:
         from vae_song_tpu.parallel import (
             make_mesh, replicate_state, make_dp_train_step, make_dp_eval_step,
@@ -274,6 +319,7 @@ def train_and_test(
         epochs > start_epoch  # gen-only mode must not upload the dataset
         and not data_parallel
         and not pipeline_parallel
+        and not expert_parallel
         and not use_scan
         and train_ds.X.nbytes < 512 * 1024 * 1024
         # an explicit native_prefetch request keeps the C++ loader path;

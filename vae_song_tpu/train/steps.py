@@ -147,9 +147,11 @@ def pick_multistep_k(steps_per_epoch: int, is_set: bool) -> int:
     remote — 24 balances one-time compile vs steady state for
     100-epoch runs. Set models route through the lax.scan multistep
     (make_scanned_multistep_train_step — compile cost flat in K), so
-    their cap is 32: past that the dispatch tax is <0.15 ms/step and
-    larger K only delays the per-dispatch host metric fetch."""
-    k_hi = 32 if is_set else 24
+    their cap is 128: on congested relays the per-dispatch tax reaches
+    ~45 ms, so amortizing over the largest divisor of the epoch that
+    keeps a couple of host metric fetches per epoch is free win (the
+    ShapeNet config's 234 steps/epoch picks K=117 = 2 dispatches)."""
+    k_hi = 128 if is_set else 24
     return max(
         (k for k in range(2, k_hi + 1) if steps_per_epoch % k == 0),
         default=1,
