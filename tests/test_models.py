@@ -212,3 +212,45 @@ def test_flexible_mixed_precision_trains(key):
             assert outs[0].dtype == jnp.float32  # recon
             assert outs[1].dtype == jnp.float32  # mu
         np.testing.assert_allclose(losses[True], losses[False], rtol=2e-2)
+
+
+def test_setvae_remat_gradient_identity(key):
+    """remat=True (jax.checkpoint on every transformer layer) must be
+    an identity on loss and gradients — only the backward's memory/
+    recompute schedule changes. The remat decoder path also skips the
+    batch-constant first-self-attention shortcut, which is algebraically
+    identical, so grads match to fp tolerance."""
+    import numpy as np
+    from vae_song_tpu.train.loop import init_model
+
+    pts = np.random.default_rng(7).normal(size=(2, 16, 3)).astype(np.float32)
+    grads = {}
+    for flag in (False, True):
+        m = SetVAE(latent_channel=8, num_points=16, d_model=16, num_heads=2,
+                   ff_dim=32, beta=0.1, remat=flag)
+        params, bs = init_model(m, pts, seed=0)
+
+        def loss_fn(p):
+            outs = m.apply({"params": p}, pts, latent_rand_sampling=False,
+                           train=True)
+            total, *_ = m.loss(pts, *outs)
+            return total
+
+        loss, g = jax.value_and_grad(loss_fn)(params)
+        grads[flag] = (float(loss), g)
+
+    assert np.isclose(grads[False][0], grads[True][0], rtol=1e-6)
+    # gradient comparison is RELATIVE and loose-ish: the remat path
+    # skips the [1, N, d] batch-constant shortcut, whose different XLA
+    # tiling shifts forward values by ~1e-7 — enough to flip a Chamfer
+    # nearest-neighbour near-tie, which discretely moves the decoder
+    # first-layer grads (observed only there; all other leaves are
+    # bit-identical). Loss itself matches to 1e-6.
+    rel = jax.tree.map(
+        lambda a, b: float(
+            jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()
+            / (jnp.abs(jnp.asarray(a)).max() + 1e-3)
+        ),
+        grads[False][1], grads[True][1],
+    )
+    assert max(jax.tree.leaves(rel)) < 2e-2, rel

@@ -85,6 +85,7 @@ def build_model(
             use_flash=mp.get("use_flash", False),
             moe_experts=mp.get("moe_experts", 0),
             moe_capacity_factor=mp.get("moe_capacity_factor", 1.25),
+            remat=mp.get("remat", False),
         )
         if exp_type == "setlrvae":
             return SetLRVAE(alpha=alpha, **kwargs)

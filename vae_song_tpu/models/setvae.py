@@ -191,18 +191,29 @@ class SetEncoderAttn(nn.Module):
     moe_capacity_factor: float = 1.25
     ep_axis: str | None = None
     moe_local_experts: int | None = None
+    remat: bool = False  # jax.checkpoint each layer: recompute its
+    # activations in the backward instead of stashing them (trades ~1/3
+    # extra FLOPs for O(layers) less HBM — the TPU lever for scaling
+    # B x N past what activation stashes allow)
 
     @nn.compact
     def __call__(self, points, train: bool = False):
         x = Dense(self.d_model)(points)
-        for _ in range(self.num_layers):
-            x = TransformerEncoderLayer(
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(TransformerEncoderLayer, static_argnums=(2,))
+        for i in range(self.num_layers):
+            # explicit name: keeps the param tree (and therefore init
+            # RNG splits and checkpoints) identical whether or not the
+            # layer is wrapped in nn.remat
+            x = layer_cls(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
                 seq_axis=self.seq_axis, moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,
                 moe_local_experts=self.moe_local_experts,
+                name=f"TransformerEncoderLayer_{i}",
             )(x, train)
         s = x.max(axis=1)  # AdaptiveMaxPool1d(1) over points
         if self.seq_axis is not None:
@@ -260,6 +271,9 @@ class SetDecoderAttn(nn.Module):
     moe_capacity_factor: float = 1.25
     ep_axis: str | None = None
     moe_local_experts: int | None = None
+    remat: bool = False  # see SetEncoderAttn.remat; forgoes the
+    # batch-constant first-self-attention shortcut (its stash is the
+    # memory being saved)
 
     @nn.compact
     def __call__(self, z, train: bool = False):
@@ -280,20 +294,25 @@ class SetDecoderAttn(nn.Module):
                 queries, shard * local_n, local_n, axis=0
             )
         memory = Dense(self.d_model)(z)[:, None, :]  # [B, 1, d_model]
+        layer_cls = TransformerDecoderLayer
+        if self.remat:
+            layer_cls = nn.remat(TransformerDecoderLayer, static_argnums=(3,))
         layers = [
-            TransformerDecoderLayer(
+            # explicit name: param tree identical with and without remat
+            layer_cls(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
                 seq_axis=self.seq_axis, moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,
                 moe_local_experts=self.moe_local_experts,
+                name=f"TransformerDecoderLayer_{i}",
             )
-            for _ in range(self.num_layers)
+            for i in range(self.num_layers)
         ]
         x = queries[None]  # [1, N, d_model] — batch-constant
         for i, layer in enumerate(layers):
-            if i == 0 and self.dropout_rate == 0.0:
+            if i == 0 and self.dropout_rate == 0.0 and not self.remat:
                 # the first self-attention sees only the (batch-constant)
                 # query embeddings: compute it ONCE and broadcast, saving
                 # a full B x N^2 attention (algebraically identical;
@@ -359,6 +378,12 @@ class SetVAE(nn.Module):
     moe_capacity_factor: float = 1.25
     ep_axis: str | None = None
     moe_local_experts: int | None = None
+    # remat: jax.checkpoint every transformer layer — recompute
+    # activations in the backward instead of stashing them. Identity on
+    # the computed gradients (tests/test_models.py::test_setvae_remat);
+    # opt-in via the `remat` model_params key for B x N scales whose
+    # activation stash exceeds HBM. Attention models only.
+    remat: bool = False
 
     def setup(self):
         cdt = jnp.bfloat16 if self.mixed_precision else None
@@ -388,6 +413,7 @@ class SetVAE(nn.Module):
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,
                 moe_local_experts=self.moe_local_experts,
+                remat=self.remat,
             )
             self.decoder = SetDecoderAttn(
                 latent_dim=self.latent_channel,
@@ -404,6 +430,7 @@ class SetVAE(nn.Module):
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,
                 moe_local_experts=self.moe_local_experts,
+                remat=self.remat,
             )
         else:
             self.encoder = SetEncoder(

@@ -445,29 +445,40 @@ def train_and_test(
             last_batch_raw_kl = float(em_host.get("last_raw_kl", em_host.get("raw_kl", 0.0)))
         elif multi_step is not None:
             # K steps per dispatch from the device-resident dataset:
-            # only [K, B] int32 indices + keys cross the host boundary
+            # only [K, B] int32 indices + keys cross the host boundary.
+            # Every per-chunk relay op costs fixed latency on tunneled
+            # TPUs, so the hot loop below issues EXACTLY ONE op per
+            # chunk: the epoch's indices upload in one transfer, the
+            # key/index chunk slices pre-dispatch before the loop, and
+            # metrics accumulate host-side from one device_get of the
+            # per-chunk means (5 scalars each) after the loop.
             idx = np.arange(len(train_ds))
             ep_np_rng.shuffle(idx)
             nchunks = steps_per_epoch // multi_k
-            idx = idx[: steps_per_epoch * batch_size].astype(np.int32).reshape(
-                nchunks, multi_k, batch_size
+            idx_dev = jnp.asarray(
+                idx[: steps_per_epoch * batch_size].astype(np.int32).reshape(
+                    nchunks, multi_k, batch_size
+                )
             )
             sk = step_keys.reshape(nchunks, multi_k, *step_keys.shape[1:])
             ak = jax.random.split(aug_key, steps_per_epoch).reshape(sk.shape)
-            acc = None
-            for c in range(nchunks):
+            chunks = [(idx_dev[c], sk[c], ak[c]) for c in range(nchunks)]
+            ms = []
+            for cx, ck, ca in chunks:
                 state, m = multi_step(
-                    state, train_X_multistep, jnp.asarray(idx[c]), wu_dev,
-                    sk[c], ak[c],
+                    state, train_X_multistep, cx, wu_dev, ck, ca
                 )
-                acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
-            acc_host, m_host = jax.device_get((acc, m))
+                ms.append(m)
+            ms_host = jax.device_get(ms)
             for k in tot:
-                tot[k] += float(acc_host[k])
+                tot[k] += float(sum(m[k] for m in ms_host))
             nb = nchunks  # chunk metrics are already K-step means
-            last_batch_raw_kl = float(m_host["raw_kl"])
+            last_batch_raw_kl = float(ms_host[-1]["raw_kl"])
         else:
-            acc = None
+            # keep per-step metric dicts on device and fetch ONCE per
+            # epoch: each extra per-step op (accumulating adds, scalar
+            # fetches) costs a fixed relay latency here
+            ms = []
             for i, (x, _y) in enumerate(
                 iterate_batches(
                     train_ds, batch_size, rng=ep_np_rng,
@@ -476,14 +487,12 @@ def train_and_test(
                 )
             ):
                 state, m = train_step(state, x, wu_dev, step_keys[i])
-                # accumulate ON DEVICE; a single fetch per epoch (each
-                # host-side float() costs a relay round trip here)
-                acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
-            acc_host, m_host = jax.device_get((acc, m))
+                ms.append(m)
+            ms_host = jax.device_get(ms)
             for k in tot:
-                tot[k] += float(acc_host[k])
+                tot[k] += float(sum(m[k] for m in ms_host))
             nb = steps_per_epoch
-            last_batch_raw_kl = float(m_host["raw_kl"])
+            last_batch_raw_kl = float(ms_host[-1]["raw_kl"])
         if profiling_this_epoch:
             jax.block_until_ready(state.step)
             prof_ctx.__exit__(None, None, None)
