@@ -45,6 +45,24 @@ def _dense_default_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
     return dense_ok(n_q, n_kv, head_dim)
 
 
+def _packed_attn_ok(n_q: int, n_kv: int, num_heads: int,
+                    head_dim: int) -> bool:
+    """Opt-in gate (VST_DENSE_ATTN_PACKED=1) for the lane-packed dense
+    kernel: consumes q/k/v in the model's [B, N, H*D] layout, skipping
+    the BNHD <-> BHND HBM transposes (~6 ms/step at the SetVAE shapes).
+    Experimental single-chip A/B path — no GSPMD partitioning rule, so
+    it stays off unless explicitly enabled."""
+    import os
+
+    if os.environ.get("VST_DENSE_ATTN_PACKED", "").lower() in ("", "0", "false"):
+        return False
+    if not _dense_default_ok(n_q, n_kv, head_dim):
+        return False
+    from vae_song_tpu.ops.denseattn import packed_ok
+
+    return packed_ok(n_q, n_kv, num_heads, head_dim)
+
+
 def _flash_ok(q, k) -> bool:
     if jax.default_backend() != "tpu":
         return False
@@ -206,6 +224,8 @@ class MultiHeadAttention(nn.Module):
         q = in_proj("query")(inputs_q)
         k = in_proj("key")(inputs_kv)
         v = in_proj("value")(inputs_kv)
+        q_flat, k_flat, v_flat = q, k, v   # [B, N, d_model] — the lane-
+        # packed kernel consumes this layout directly (no head reshape)
         q = q.reshape(b, n_q, h, d)
         k = k.reshape(b, n_kv, h, d)
         v = v.reshape(b, n_kv, h, d)
@@ -243,6 +263,10 @@ class MultiHeadAttention(nn.Module):
                 weights.astype(jnp.bfloat16), v.astype(jnp.bfloat16),
                 preferred_element_type=jnp.float32,
             ).astype(q.dtype)
+        elif self.seq_axis is None and _packed_attn_ok(n_q, n_kv, h, d):
+            from vae_song_tpu.ops.denseattn import dense_attention_packed
+
+            out = dense_attention_packed(q_flat, k_flat, v_flat, scale)
         elif _dense_default_ok(n_q, n_kv, d):
             from vae_song_tpu.ops.denseattn import dense_attention
 

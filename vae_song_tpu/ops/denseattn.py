@@ -337,3 +337,190 @@ def dense_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
         and n_q % 128 == 0
         and head_dim % 64 == 0
     )
+
+
+# ---- lane-packed variant (experimental, VST_DENSE_ATTN_PACKED=1) ----
+#
+# The BNHD <-> BHND transposes around the kernel above are real HBM
+# copies (~6 ms/step over the SetVAE's attentions). This variant skips
+# them by consuming q/k/v in the model's own [B, N, H*D] layout: each
+# grid step takes a 128-lane window of the feature axis = TWO 64-wide
+# heads, and the kernel computes both heads from static lane slices
+# (qa = q[:, :64], qb = q[:, 64:]). The trailing block dims stay
+# (N, 128) — Mosaic-aligned — which is what the rejected 4-D
+# one-plane-per-grid-step variant could not achieve. The per-head LSE
+# residuals are emitted as two [B, H/2, N, 1] outputs (full trailing
+# axes, same layout trick as the base kernel's [B*H, N, 1]).
+#
+# Trade: the in-kernel 64-lane slices/concat are sub-tile relayouts in
+# VMEM; the transposes they replace are full HBM round trips. Opt-in
+# until the A/B on real hardware decides (interpret-mode parity in
+# tests/test_denseattn.py either way). No custom_partitioning yet —
+# single-chip experiment; MultiHeadAttention only routes here when the
+# env flag is set.
+
+def _heads2(x2):
+    """Split a [N, 128] two-head window into its [N, 64] halves."""
+    return x2[:, :64], x2[:, 64:]
+
+
+def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_a_ref, lse_b_ref,
+                       *, scale):
+    q2 = q_ref[0]                      # [BQ, 128] = heads (2j, 2j+1)
+    k2 = k_ref[0]                      # [N, 128]
+    v2 = v_ref[0]
+    cd = _vpu_dtype(q2.dtype)
+    qc2 = (q2.astype(jnp.float32) * (scale * LOG2E)).astype(q2.dtype)
+    outs, lses = [], []
+    for qc, k, v in zip(_heads2(qc2), _heads2(k2), _heads2(v2)):
+        s = jax.lax.dot_general(
+            qc, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                              # [BQ, N] base-2 scores
+        m = s.max(axis=1, keepdims=True)
+        p = jnp.exp2((s - m).astype(cd))
+        l = p.astype(jnp.float32).sum(axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(q2.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append((o / l).astype(q2.dtype))
+        lses.append(m + jnp.log2(l))
+    o_ref[0] = jnp.concatenate(outs, axis=1)
+    lse_a_ref[0, 0] = lses[0]
+    lse_b_ref[0, 0] = lses[1]
+
+
+def _bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref, o_ref,
+                       lse_a_ref, lse_b_ref, dq_ref, dk_ref, dv_ref,
+                       *, scale):
+    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]
+    do2, o2 = do_ref[0], o_ref[0]
+    lses = (lse_a_ref[0, 0], lse_b_ref[0, 0])   # [N, 1] f32 each
+    cd = _vpu_dtype(q2.dtype)
+    qc2 = (q2.astype(jnp.float32) * (scale * LOG2E)).astype(q2.dtype)
+    dqs, dks, dvs = [], [], []
+    for qc, k, v, do, o, lse in zip(
+        _heads2(qc2), _heads2(k2), _heads2(v2),
+        _heads2(do2), _heads2(o2), lses,
+    ):
+        s = jax.lax.dot_general(
+            qc, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        p = jnp.exp2((s - lse).astype(cd))
+        dvs.append(jax.lax.dot_general(
+            p.astype(q2.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(q2.dtype))
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(cd)
+        delta = (do.astype(jnp.float32) * o.astype(jnp.float32)).sum(
+            axis=1, keepdims=True
+        )
+        ds = (p * (dp - delta.astype(cd))).astype(q2.dtype)
+        dqs.append((jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale).astype(q2.dtype))
+        dks.append((jax.lax.dot_general(
+            ds, qc, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * LN2).astype(q2.dtype))
+    dq_ref[0] = jnp.concatenate(dqs, axis=1)
+    dk_ref[0] = jnp.concatenate(dks, axis=1)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1)
+
+
+def _call_fwd_packed(q, k, v, scale, interpret):
+    """q/k/v: [B, N, H*D]; grid (B, H/2, N/BQ). Returns
+    (o [B, N, H*D], lse_a, lse_b [B, H/2, N, 1] f32)."""
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, hd = q.shape
+    hp = hd // 128                     # head pairs
+    bq = FWD_BLOCK_Q if n % FWD_BLOCK_Q == 0 else n
+    lse_shape = jax.ShapeDtypeStruct((b, hp, n, 1), jnp.float32)
+    lse_spec = pl.BlockSpec((1, 1, bq, 1), lambda i, j, r: (i, j, r, 0))
+    out, lse_a, lse_b = pl.pallas_call(
+        functools.partial(_fwd_kernel_packed, scale=scale),
+        grid=(b, hp, n // bq),
+        in_specs=[
+            pl.BlockSpec((1, bq, 128), lambda i, j, r: (i, r, j)),
+            pl.BlockSpec((1, n, 128), lambda i, j, r: (i, 0, j)),
+            pl.BlockSpec((1, n, 128), lambda i, j, r: (i, 0, j)),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, bq, 128), lambda i, j, r: (i, r, j)),
+            lse_spec,
+            lse_spec,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, hd), q.dtype),
+            lse_shape,
+            lse_shape,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v)
+    return out, lse_a, lse_b
+
+
+def _call_bwd_packed(q, k, v, do, o, lse_a, lse_b, scale, interpret):
+    import jax.experimental.pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, n, hd = q.shape
+    hp = hd // 128
+    spec = pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j))
+    lse_spec = pl.BlockSpec((1, 1, n, 1), lambda i, j: (i, j, 0, 0))
+    shape = jax.ShapeDtypeStruct((b, n, hd), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_packed, scale=scale),
+        grid=(b, hp),
+        in_specs=[spec] * 5 + [lse_spec] * 2,
+        out_specs=(spec,) * 3,
+        out_shape=(shape,) * 3,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, k, v, do, o, lse_a, lse_b)
+    return dq, dk, dv
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _dense_attention_packed(q, k, v, scale, interpret):
+    o, _la, _lb = _call_fwd_packed(q, k, v, scale, interpret)
+    return o
+
+
+def _vjp_fwd_packed(q, k, v, scale, interpret):
+    o, lse_a, lse_b = _call_fwd_packed(q, k, v, scale, interpret)
+    return o, (q, k, v, o, lse_a, lse_b)
+
+
+def _vjp_bwd_packed(scale, interpret, res, do):
+    q, k, v, o, lse_a, lse_b = res
+    dq, dk, dv = _call_bwd_packed(q, k, v, do, o, lse_a, lse_b, scale,
+                                  interpret)
+    return dq, dk, dv
+
+
+_dense_attention_packed.defvjp(_vjp_fwd_packed, _vjp_bwd_packed)
+
+
+def dense_attention_packed(q, k, v, scale, interpret: bool = False):
+    """Lane-packed dense attention on [B, N, H*D] inputs (no BNHD <->
+    BHND HBM transposes). Heads must be 64-wide and even in count
+    (packed_ok). Returns [B, N, H*D]."""
+    return _dense_attention_packed(q, k, v, scale, interpret)
+
+
+def packed_ok(n_q: int, n_kv: int, num_heads: int, head_dim: int) -> bool:
+    return (
+        dense_ok(n_q, n_kv, head_dim)
+        and head_dim == 64
+        and num_heads % 2 == 0
+    )
