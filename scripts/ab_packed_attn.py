@@ -21,10 +21,8 @@ def run(tag, packed, mixed_precision):
     import subprocess
 
     env = dict(os.environ)
-    if packed:
-        env["VST_DENSE_ATTN_PACKED"] = "1"
-    else:
-        env.pop("VST_DENSE_ATTN_PACKED", None)
+    # packed is the default since round 3 — the base arm must opt out
+    env["VST_DENSE_ATTN_PACKED"] = "1" if packed else "0"
     code = (
         "import sys; sys.path.insert(0, %r);"
         "from bench import measure_setvae_step;"

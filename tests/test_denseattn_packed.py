@@ -90,3 +90,83 @@ def test_matches_unpacked_dense_kernel():
     got = dense_attention_packed(q, k, v, SCALE, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-6, rtol=1e-6)
+
+
+def test_gspmd_partitioning_matches_unsharded():
+    """custom_partitioning rule: batch on 'data' plus the feature axis
+    (head pairs) on 'model' — the TP layout — must reproduce the
+    unsharded result and cotangents."""
+    import pytest
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    q, k, v = _inputs(5)
+    want = _xla_flat(q, k, v)
+    mesh = Mesh(np.array(jax.devices()).reshape(2, 4), ("data", "model"))
+    # model axis is 4-wide but F=256 only packs 2 head pairs: the
+    # partition rule must DROP the misaligned feature sharding (64
+    # lanes/shard) and still be correct
+    for spec in (P("data", None, None), P("data", None, "model")):
+        sh = NamedSharding(mesh, spec)
+        f = jax.jit(
+            lambda q, k, v: dense_attention_packed(q, k, v, SCALE, interpret=True),
+            in_shardings=(sh, sh, sh), out_shardings=sh,
+        )
+        got = f(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
+
+    # 2-way feature sharding = one whole 128-lane head pair per shard:
+    # kept by the rule, grads must still match
+    mesh2 = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+    sh2 = NamedSharding(mesh2, P(None, None, "model"))
+    grad = jax.jit(
+        jax.grad(lambda q: dense_attention_packed(q, k, v, SCALE, interpret=True).sum()),
+        in_shardings=(sh2,),
+    )(q)
+    gw = jax.grad(lambda q: _xla_flat(q, k, v).sum())(q)
+    np.testing.assert_allclose(np.asarray(grad), np.asarray(gw),
+                               atol=5e-5, rtol=5e-5)
+
+
+def test_shard_map_dp_context():
+    """The DP training path wraps compute in shard_map(check_vma=False)
+    (parallel/mesh.py); the packed kernel must run per-shard there."""
+    import pytest
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    q, k, v = _inputs(6)
+    tile = lambda a: jnp.tile(a, (4, 1, 1))
+    want = _xla_flat(q, k, v)
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    sm = jax.shard_map(
+        lambda q, k, v: dense_attention_packed(q, k, v, SCALE, interpret=True),
+        mesh=mesh, in_specs=(P("data"),) * 3, out_specs=P("data"),
+        check_vma=False,
+    )
+    got = jax.jit(sm)(tile(q), tile(k), tile(v))
+    np.testing.assert_allclose(np.asarray(got[:B]), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_packed_default_gate(monkeypatch):
+    """_packed_attn_ok: default-on for eligible shapes on TPU; opt-out
+    via VST_DENSE_ATTN_PACKED=0 (falls back to the base BHND kernel)
+    or VST_DISABLE_DENSE_ATTN=1 (disables both dense kernels)."""
+    from vae_song_tpu.ops import attention as attn
+
+    assert attn._packed_attn_ok(2048, 2048, 4, 64) is False  # CPU backend
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert attn._packed_attn_ok(2048, 2048, 4, 64) is True
+    assert attn._packed_attn_ok(2048, 2048, 3, 64) is False  # odd heads
+    assert attn._packed_attn_ok(2048, 2048, 4, 128) is False
+
+    monkeypatch.setenv("VST_DENSE_ATTN_PACKED", "0")
+    assert attn._packed_attn_ok(2048, 2048, 4, 64) is False
+    monkeypatch.delenv("VST_DENSE_ATTN_PACKED")
+    monkeypatch.setenv("VST_DISABLE_DENSE_ATTN", "1")
+    assert attn._packed_attn_ok(2048, 2048, 4, 64) is False

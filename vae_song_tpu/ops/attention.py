@@ -47,14 +47,18 @@ def _dense_default_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
 
 def _packed_attn_ok(n_q: int, n_kv: int, num_heads: int,
                     head_dim: int) -> bool:
-    """Opt-in gate (VST_DENSE_ATTN_PACKED=1) for the lane-packed dense
-    kernel: consumes q/k/v in the model's [B, N, H*D] layout, skipping
-    the BNHD <-> BHND HBM transposes (~6 ms/step at the SetVAE shapes).
-    Experimental single-chip A/B path — no GSPMD partitioning rule, so
-    it stays off unless explicitly enabled."""
+    """Default-on gate for the lane-packed dense kernel: consumes q/k/v
+    in the model's [B, N, H*D] layout, skipping the BNHD <-> BHND HBM
+    transposes around the base kernel. Measured on v5e at the SetVAE
+    shapes (B=64, N=2048, H=4, D=64): full f32 train step 109.7 ->
+    93.6 ms vs the base dense kernel (scripts/ab_packed_attn.py).
+    Partitions under GSPMD (batch + whole-head-pair feature sharding,
+    ops/denseattn.py:_packed_specs). VST_DENSE_ATTN_PACKED=0 falls back
+    to the base BHND kernel for A/B; VST_DISABLE_DENSE_ATTN=1 disables
+    both dense kernels."""
     import os
 
-    if os.environ.get("VST_DENSE_ATTN_PACKED", "").lower() in ("", "0", "false"):
+    if os.environ.get("VST_DENSE_ATTN_PACKED", "1").lower() in ("0", "false"):
         return False
     if not _dense_default_ok(n_q, n_kv, head_dim):
         return False
@@ -149,22 +153,29 @@ class MultiHeadAttention(nn.Module):
     """torch-style MHA: q/k/v/out projections + scaled dot-product.
 
     Path selection on TPU (in order):
-      1. dense whole-row Pallas kernel (ops/denseattn.py) — the DEFAULT
-         for dense_ok shapes (N <= 2048 lane-aligned, n_q == n_kv, no
-         attention dropout, no seq_axis). Never spills [B, H, N, N]
-         scores to HBM; partitions under GSPMD (custom_partitioning:
-         batch/heads shard, N/D replicate) so it composes with tensor
-         parallelism. Measured at the set models' shapes (B=64, N=2048,
-         H=4, D=64): full SetVAE step 200 -> 122.5 ms f32, 89 ms bf16.
-         Opt out with VST_DISABLE_DENSE_ATTN=1 (numerics A/B: the MXU
+      1. lane-packed dense Pallas kernel (ops/denseattn.py:
+         dense_attention_packed) — the DEFAULT for packed_ok shapes
+         (dense_ok + 64-wide heads in even count): consumes q/k/v in
+         the model's own [B, N, H*D] layout, skipping the BNHD <->
+         BHND HBM transposes. Measured at the set models' shapes
+         (B=64, N=2048, H=4, D=64): full f32 SetVAE step 109.7 ->
+         93.6 ms vs path 2. Partitions under GSPMD (batch + head-pair
+         feature sharding). VST_DENSE_ATTN_PACKED=0 reverts to path 2.
+      2. dense whole-row BHND Pallas kernel (ops/denseattn.py) for the
+         remaining dense_ok shapes (N <= 2048 lane-aligned, n_q ==
+         n_kv, no attention dropout, no seq_axis). Never spills
+         [B, H, N, N] scores to HBM; partitions under GSPMD
+         (custom_partitioning: batch/heads shard, N/D replicate) so it
+         composes with tensor parallelism. Opt out of both dense
+         kernels with VST_DISABLE_DENSE_ATTN=1 (numerics A/B: the MXU
          rounding differs from XLA attention at the ~1e-3 level).
-      2. tuned-block tiled flash kernel (use_flash=True opt-in) for
+      3. tuned-block tiled flash kernel (use_flash=True opt-in) for
          longer/unequal sequences — block tuning is the whole game
          (q=kv=1024 is 10.8 ms fwd vs 40 ms with default blocks; round
          1 measured untuned flash and wrongly concluded XLA wins). Does
          NOT auto-partition — parallel/tp.py rejects TP models whose
          shapes would route here.
-      3. XLA einsum attention (bf16 matmuls + f32 softmax) — CPU, and
+      4. XLA einsum attention (bf16 matmuls + f32 softmax) — CPU, and
          every remaining case (dropout, cross-attention to the length-1
          memory token, ...).
     """

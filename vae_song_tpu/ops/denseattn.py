@@ -353,11 +353,13 @@ def dense_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
 # axes, same layout trick as the base kernel's [B*H, N, 1]).
 #
 # Trade: the in-kernel 64-lane slices/concat are sub-tile relayouts in
-# VMEM; the transposes they replace are full HBM round trips. Opt-in
-# until the A/B on real hardware decides (interpret-mode parity in
-# tests/test_denseattn.py either way). No custom_partitioning yet —
-# single-chip experiment; MultiHeadAttention only routes here when the
-# env flag is set.
+# VMEM; the transposes they replace are full HBM round trips. The
+# on-chip A/B (scripts/ab_packed_attn.py, v5e, B=64/N=2048/H=4/D=64)
+# decided for packed: full f32 SetVAE step 109.7 -> 93.6 ms. Default
+# TPU path for packed_ok shapes since round 3 (VST_DENSE_ATTN_PACKED=0
+# reverts to the base kernel); partitions under GSPMD via the
+# custom_partitioning rules below. Interpret-mode parity in
+# tests/test_denseattn_packed.py.
 
 def _heads2(x2):
     """Split a [N, 128] two-head window into its [N, 64] halves."""
@@ -490,21 +492,126 @@ def _call_bwd_packed(q, k, v, do, o, lse_a, lse_b, scale, interpret):
     return dq, dk, dv
 
 
+# GSPMD partitioning for the packed layout, mirroring the base kernel's
+# rules for [B, N, H*D]: batch (dim 0, 'data'/DP) shards freely; the
+# feature axis (dim 2, head pairs — 'model'/TP when parallel/tp.py
+# head-shards the qkv projections) shards when every shard keeps a
+# whole 128-lane head pair; N replicates (each query row attends to all
+# keys). The LSE residuals [B, H/2, N, 1] co-shard their head-pair dim
+# with the operands' feature axis.
+
+def _axis_size(mesh, names):
+    if names is None:
+        return 1
+    if isinstance(names, (tuple, list)):
+        size = 1
+        for n in names:
+            size *= mesh.shape[n]
+        return size
+    return mesh.shape[names]
+
+
+def _packed_specs(arg_shape, mesh):
+    """(qkv/o NamedSharding, lse NamedSharding) from a [B, N, F]
+    operand's sharding; drops the feature sharding unless each shard
+    keeps a multiple of 128 lanes (a whole head pair)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sh = arg_shape.sharding
+    mesh = getattr(sh, "mesh", mesh)
+    spec = tuple(sh.spec) + (None,) * (3 - len(sh.spec))
+    feat = spec[2]
+    if (arg_shape.shape[2] // _axis_size(mesh, feat)) % 128 != 0:
+        feat = None
+    return (
+        NamedSharding(mesh, P(spec[0], None, feat)),
+        NamedSharding(mesh, P(spec[0], feat, None, None)),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _fwd_packed_partitioned(scale, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def fwd(q, k, v):
+        return _call_fwd_packed(q, k, v, scale, interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh, lse_sh = _packed_specs(arg_shapes[0], mesh)
+        return (sh, lse_sh, lse_sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh, lse_sh = _packed_specs(arg_shapes[0], mesh)
+
+        def lower(q, k, v):
+            return _call_fwd_packed(q, k, v, scale, interpret)
+
+        return mesh, lower, (sh, lse_sh, lse_sh), (sh, sh, sh)
+
+    fwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        # g (the lse head-pair dim) co-shards with f only via the
+        # partition fn above; the rule keeps it replicated for the
+        # Shardy propagation pass (the residuals are ~1 MB)
+        sharding_rule="b n f, b n f, b n f -> b n f, b g n e, b g n e",
+        need_replication_factors=("n", "g", "e"),
+    )
+    return fwd
+
+
+@functools.lru_cache(maxsize=None)
+def _bwd_packed_partitioned(scale, interpret):
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    @custom_partitioning
+    def bwd(q, k, v, do, o, lse_a, lse_b):
+        return _call_bwd_packed(q, k, v, do, o, lse_a, lse_b, scale,
+                                interpret)
+
+    def infer(mesh, arg_shapes, result_shape):
+        sh, _ = _packed_specs(arg_shapes[0], mesh)
+        return (sh, sh, sh)
+
+    def partition(mesh, arg_shapes, result_shape):
+        sh, lse_sh = _packed_specs(arg_shapes[0], mesh)
+
+        def lower(q, k, v, do, o, lse_a, lse_b):
+            return _call_bwd_packed(q, k, v, do, o, lse_a, lse_b, scale,
+                                    interpret)
+
+        return (
+            mesh, lower, (sh, sh, sh),
+            (sh, sh, sh, sh, sh, lse_sh, lse_sh),
+        )
+
+    bwd.def_partition(
+        partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b n f, b n f, b n f, b n f, b n f, b g n e, "
+                      "b g n e -> b n f, b n f, b n f",
+        need_replication_factors=("n", "g", "e"),
+    )
+    return bwd
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def _dense_attention_packed(q, k, v, scale, interpret):
-    o, _la, _lb = _call_fwd_packed(q, k, v, scale, interpret)
+    o, _la, _lb = _fwd_packed_partitioned(scale, interpret)(q, k, v)
     return o
 
 
 def _vjp_fwd_packed(q, k, v, scale, interpret):
-    o, lse_a, lse_b = _call_fwd_packed(q, k, v, scale, interpret)
+    o, lse_a, lse_b = _fwd_packed_partitioned(scale, interpret)(q, k, v)
     return o, (q, k, v, o, lse_a, lse_b)
 
 
 def _vjp_bwd_packed(scale, interpret, res, do):
     q, k, v, o, lse_a, lse_b = res
-    dq, dk, dv = _call_bwd_packed(q, k, v, do, o, lse_a, lse_b, scale,
-                                  interpret)
+    dq, dk, dv = _bwd_packed_partitioned(scale, interpret)(
+        q, k, v, do, o, lse_a, lse_b
+    )
     return dq, dk, dv
 
 
