@@ -39,7 +39,7 @@ def get_memory_usage_mb():
 
 
 def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
-                    num_mc_samples=1, grad_clip=None, seed=42):
+                    num_mc_samples=1, grad_clip=None, seed=42, eval_trials=1):
     rng = jax.random.PRNGKey(seed)
     np_rng = np.random.default_rng(seed)
     params, batch_stats = init_model(model, train_ds.X[:batch_size], seed=seed, L=num_mc_samples)
@@ -68,7 +68,7 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     _warm = eval_step(state, jnp.asarray(test_ds.X[:batch_size]), one, warm_key)
     _ = float(_warm["loss"])
 
-    mem0, dev0 = get_memory_usage_mb(), get_device_memory_usage_mb()
+    mem0 = get_memory_usage_mb()
     t0 = time.time()
     for epoch in range(epochs):
         rng, ep_key, aug_key = jax.random.split(rng, 3)
@@ -82,22 +82,32 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     # early on chained work on this relay (CLAUDE.md)
     train_time = time.time() - t0
     train_mem = max(0.0, get_memory_usage_mb() - mem0)
-    train_dev = max(0.0, get_device_memory_usage_mb() - dev0)
+    # absolute device-resident MB at phase end, not a delta: warmup
+    # pre-allocates params/opt-state/compiled buffers (so a delta is
+    # ~0 by construction), and the axon backend has no allocator
+    # counter — live committed arrays are the honest measurement here
+    train_dev = get_device_memory_usage_mb()
 
-    mem0, dev0 = get_memory_usage_mb(), get_device_memory_usage_mb()
-    t1 = time.time()
+    # best-of-N eval timing (round-2's table had a relay-congestion
+    # outlier in this slot; a min over trials rejects transient relay
+    # weather the same way bench.py's timed trials do)
+    mem0 = get_memory_usage_mb()
     rng, ev_key = jax.random.split(rng)
     ev_keys = jax.random.split(ev_key, max(1, len(test_ds) // batch_size))
-    acc, n = None, 0
-    for i, (x, _y) in enumerate(iterate_batches(test_ds, batch_size, shuffle=False, rng=np_rng)):
-        m = eval_step(state, x, one, ev_keys[i])
-        acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
-        n += 1
-    totals = {k: float(v) for k, v in jax.device_get(acc).items()} if acc else {
-        "loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
-    eval_time = time.time() - t1
+    eval_time = float("inf")
+    totals, n = None, 0
+    for _trial in range(max(1, eval_trials)):
+        t1 = time.time()
+        acc, n = None, 0
+        for i, (x, _y) in enumerate(iterate_batches(test_ds, batch_size, shuffle=False, rng=np_rng)):
+            m = eval_step(state, x, one, ev_keys[i])
+            acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
+            n += 1
+        totals = {k: float(v) for k, v in jax.device_get(acc).items()} if acc else {
+            "loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
+        eval_time = min(eval_time, time.time() - t1)
     eval_mem = max(0.0, get_memory_usage_mb() - mem0)
-    eval_dev = max(0.0, get_device_memory_usage_mb() - dev0)
+    eval_dev = get_device_memory_usage_mb()
 
     return state, {
         "train_time_sec": train_time,
@@ -137,6 +147,8 @@ def main(argv=None):
     parser.add_argument("--beta", type=float, default=1.0)
     parser.add_argument("--inverse_lipschitz", type=float, default=0.0)
     parser.add_argument("--fake_data", action="store_true")
+    parser.add_argument("--eval_trials", type=int, default=1,
+                        help="best-of-N eval wall-clock (rejects relay-latency outliers)")
     parser.add_argument("--grad_clip_enabled", action="store_true")
     parser.add_argument("--grad_clip_type", type=str, default="norm", choices=["norm", "value"])
     parser.add_argument("--grad_clip_max_norm", type=float, default=1.0)
@@ -169,7 +181,7 @@ def main(argv=None):
         model = factory()
         state, metrics = train_one_model(
             model, train_ds, test_ds, augment, args.epochs, args.batch_size,
-            args.num_mc_samples, grad_clip,
+            args.num_mc_samples, grad_clip, eval_trials=args.eval_trials,
         )
         n_params = count_params(state.params)
         model_size_mb = sum(

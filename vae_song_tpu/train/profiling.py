@@ -73,8 +73,26 @@ class StepTimer:
 
 
 def device_memory_mb() -> float:
+    """Bytes in use on device 0, in MB.
+
+    Prefers the runtime allocator's own counter; the tunneled axon
+    backend returns None from memory_stats(), so fall back to summing
+    live committed arrays (params/opt state/datasets — everything the
+    framework holds a handle to; excludes allocator overhead and
+    transient scratch, so it is a floor, not a peak).
+    """
     try:
         stats = jax.devices()[0].memory_stats()
-        return stats.get("bytes_in_use", 0) / (1024.0**2)
+        if stats is not None:
+            return stats.get("bytes_in_use", 0) / (1024.0**2)
+    except Exception:
+        pass
+    try:
+        total = 0
+        for a in jax.live_arrays():
+            devs = a.devices()
+            if devs and next(iter(devs)).platform == "tpu":
+                total += a.nbytes
+        return total / (1024.0**2)
     except Exception:
         return 0.0
