@@ -155,3 +155,56 @@ def test_build_model_moe_key():
         beta=0.1, alpha=0.01,
     )
     assert m.moe_experts == 2 and m.moe_capacity_factor == 1.25
+
+
+def test_ep_grad_clip_matches_dp_dense_step(key):
+    """Norm clipping under EP must use the TRUE global norm (expert
+    grads differ per device — a clip chained into tx would scale the
+    replicated params differently on every device). Reference: the DP
+    dense step, whose grads are pmean'd before the chained clip, so its
+    per-device norm IS the global norm. max_norm is chosen tiny so the
+    clip actually binds."""
+    import optax
+
+    clip_cfg = {"enabled": True, "clip_type": "norm", "max_norm": 0.05}
+    m = SetVAE(**TINY)
+    x = np.random.default_rng(7).normal(size=(8, 16, 3)).astype(np.float32)
+
+    # sgd(1.0) so params0 - params1 IS the (clipped) gradient
+    tx_clip = optax.chain(optax.clip_by_global_norm(0.05), optax.sgd(1.0))
+    base_dp = _state(m, jnp.asarray(x[:4]), tx_clip)
+    params0 = jax.tree.map(lambda v: np.asarray(v), base_dp.params)
+    dp_mesh = make_mesh(n_data=E)
+    dp_state = replicate_state(base_dp, dp_mesh)
+    dp_step = make_dp_train_step(m, tx_clip, dp_mesh)
+    dp_state2, _ = dp_step(
+        dp_state, shard_batch(jnp.asarray(x), dp_mesh), jnp.float32(0.0), key
+    )
+
+    tx_plain = optax.sgd(1.0)
+    base_ep = _state(m, jnp.asarray(x[:4]), tx_plain)
+    ep_mesh = make_ep_mesh(E)
+    ep_state = shard_setvae_ep_state(base_ep, ep_mesh)
+    ep_step = make_setvae_ep_train_step(
+        m, tx_plain, ep_mesh, base_ep, grad_clip=clip_cfg
+    )
+    x_ep = jax.device_put(jnp.asarray(x), NamedSharding(ep_mesh, P(EXPERT_AXIS)))
+    ep_state2, _ = ep_step(ep_state, x_ep, jnp.float32(0.0), key)
+
+    # the clip must actually bind: the applied-update global norm equals
+    # max_norm (a vacuously-passing no-op clip would show a larger norm)
+    ep_delta = jax.tree.map(
+        lambda a, b: np.asarray(a) - np.asarray(b), params0, ep_state2.params
+    )
+    gnorm = float(
+        np.sqrt(sum(np.sum(g.astype(np.float64) ** 2)
+                    for g in jax.tree.leaves(ep_delta)))
+    )
+    assert np.isclose(gnorm, 0.05, rtol=1e-4), gnorm
+
+    deltas = jax.tree.map(
+        lambda a, b: float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max()),
+        dp_state2.params,
+        ep_state2.params,
+    )
+    assert max(jax.tree.leaves(deltas)) < 1e-5

@@ -117,3 +117,79 @@ def test_pp_setvae_rejects_bad_config():
     mesh = make_pp_mesh(3)  # 4 layers don't divide over 3 stages
     with pytest.raises(ValueError):
         make_setvae_pp_train_step(model, optax.adam(1e-3), mesh, n_micro=2)
+
+
+def test_pp_setvae_grad_clip_matches_optax():
+    """Norm clip under PP must use the true global norm (stage-local
+    enc_stack slices psum'd, replicated pre/post counted once) — equal
+    to optax.clip_by_global_norm of the single-device composite
+    gradient. sgd(1.0) so the param delta IS the clipped gradient."""
+    clip_cfg = {"enabled": True, "clip_type": "norm", "max_norm": 0.05}
+    model = _model()
+    x = _data()
+    params, _ = init_model(model, x[:2], seed=0)
+    wu = jnp.float32(1.0)
+
+    _, want_grads = _single_device_grads(model, params, jnp.asarray(x), wu)
+    clip = optax.clip_by_global_norm(0.05)
+    want_clipped, _ = clip.update(want_grads, clip.init(params))
+    # the clip must bind, else this test is vacuous
+    raw_norm = float(optax.global_norm(want_grads))
+    assert raw_norm > 0.05, raw_norm
+
+    mesh = make_pp_mesh(2)
+    tx = optax.sgd(1.0)
+    pp = split_params(params, N_LAYERS)
+    pp_host = jax.tree.map(np.asarray, pp)
+    step = make_setvae_pp_train_step(model, tx, mesh, n_micro=4,
+                                     latent_rand_sampling=False,
+                                     grad_clip=clip_cfg)
+    p_sh, o_sh = shard_pp_setvae_state(pp, tx.init(pp), mesh, tx)
+    new_pp, _, _ = step(p_sh, o_sh, jnp.asarray(x), wu, jax.random.PRNGKey(0))
+    got = merge_params(
+        jax.tree.map(lambda a, b: a - b, pp_host, jax.device_get(new_pp)),
+        N_LAYERS,
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(got)[0],
+        jax.tree_util.tree_flatten_with_path(want_clipped)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-7,
+            err_msg=f"clipped-gradient mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_pp_opt_state_split_merge_roundtrip():
+    """split_opt_state must equal tx.init on the split params (fresh
+    run) and merge back to the full-format state exactly — the resume
+    path restores Adam moments through this round trip."""
+    from vae_song_tpu.parallel.pp_setvae import merge_opt_state, split_opt_state
+    from vae_song_tpu.train.state import make_optimizer
+
+    model = _model()
+    params, _ = init_model(model, _data()[:2], seed=0)
+    tx = make_optimizer(lr=1e-3, total_steps=100,
+                        grad_clip=None)
+    full = tx.init(params)
+    pp = split_params(params, N_LAYERS)
+
+    got_split = split_opt_state(full, params, N_LAYERS)
+    want_split = tx.init(pp)
+    assert jax.tree.structure(got_split) == jax.tree.structure(want_split)
+    for a, b in zip(jax.tree.leaves(got_split), jax.tree.leaves(want_split)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    back = merge_opt_state(got_split, pp, N_LAYERS)
+    assert jax.tree.structure(back) == jax.tree.structure(full)
+    for a, b in zip(jax.tree.leaves(back), jax.tree.leaves(full)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pp_rejects_dropout():
+    model = SetVAE(latent_channel=8, num_points=N, d_model=16, num_heads=2,
+                   ff_dim=32, beta=0.1, num_encoder_layers=N_LAYERS,
+                   num_decoder_layers=1, attn_dropout=0.1)
+    mesh = make_pp_mesh(2)
+    with pytest.raises(NotImplementedError):
+        make_setvae_pp_train_step(model, optax.adam(1e-3), mesh, n_micro=2)

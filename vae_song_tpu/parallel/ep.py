@@ -43,6 +43,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
+from vae_song_tpu.parallel import optree  # noqa: F401 (submodule, no cycle)
+
 EXPERT_AXIS = "expert"
 
 
@@ -190,33 +192,12 @@ def make_ep_apply(mesh: Mesh, n_experts: int, capacity_factor: float = 1.25):
 def _opt_specs(tx, example_params, n_experts: int):
     """PartitionSpec tree for the optax state: any subtree shaped like
     the params (adam mu/nu) gets the params' specs — router replicated,
-    expert stacks on 'expert' — everything else replicates. Matching by
-    tree STRUCTURE, not leaf shape, so a router with d_model ==
-    n_experts cannot be misclassified as an expert stack."""
+    expert stacks on 'expert' — everything else replicates. Shared
+    structural walk: parallel/optree.py."""
     del n_experts
-    shapes = jax.eval_shape(tx.init, example_params)
-    param_structure = jax.tree.structure(example_params)
     pspecs = MoEParams(router=P(), w1=P(EXPERT_AXIS), b1=P(EXPERT_AXIS),
                        w2=P(EXPERT_AXIS), b2=P(EXPERT_AXIS))
-
-    def walk(node):
-        try:
-            if jax.tree.structure(node) == param_structure:
-                return pspecs
-        except Exception:
-            pass
-        if isinstance(node, tuple) and hasattr(node, "_fields"):
-            return type(node)(*[walk(getattr(node, f)) for f in node._fields])
-        if isinstance(node, (tuple, list)):
-            return type(node)(walk(c) for c in node)
-        if isinstance(node, dict):
-            # optax states can nest dicts (multi_transform,
-            # inject_hyperparams) — recurse so param-shaped subtrees
-            # inside them still get the expert shardings
-            return {k: walk(v) for k, v in node.items()}
-        return jax.tree.map(lambda _: P(), node)
-
-    return walk(shapes)
+    return optree.opt_state_specs(tx, example_params, pspecs)
 
 
 def shard_moe_opt(opt_state, tx, example_params: MoEParams, mesh: Mesh,
@@ -322,7 +303,8 @@ def shard_setvae_ep_state(state, mesh: Mesh):
     )
 
 
-def make_setvae_ep_train_step(model, tx, mesh: Mesh, example_state, L: int = 1):
+def make_setvae_ep_train_step(model, tx, mesh: Mesh, example_state, L: int = 1,
+                              grad_clip: dict | None = None):
     """Expert-parallel train step for an attention SetVAE/SetLRVAE with
     moe_experts == mesh.shape['expert'] (one expert per device).
 
@@ -330,9 +312,17 @@ def make_setvae_ep_train_step(model, tx, mesh: Mesh, example_state, L: int = 1):
     `x` sharded P('expert') along the batch axis; state per
     shard_setvae_ep_state. Step-for-step parity with the single-device
     dense step whenever expert capacity does not bind
-    (tests/test_moe_setvae.py)."""
+    (tests/test_moe_setvae.py).
+
+    grad_clip: pass the config dict HERE with a clip-free `tx` — a
+    clip chained into tx would compute a different global norm on every
+    device (expert grads differ per device) and silently de-replicate
+    the replicated params. optree.make_shardmap_clip psums the expert
+    leaves' sqnorms so the scale is the true global norm, identical
+    everywhere and equal to the dense single-device clip."""
     from vae_song_tpu.train.steps import make_grads_fn
 
+    clip_fn = optree.make_shardmap_clip(grad_clip, _is_expert_leaf, EXPERT_AXIS)
     n_exp = mesh.shape[EXPERT_AXIS]
     if getattr(model, "moe_experts", 0) != n_exp:
         raise ValueError(
@@ -361,6 +351,7 @@ def make_setvae_ep_train_step(model, tx, mesh: Mesh, example_state, L: int = 1):
              "raw_kl": raw_kl},
             EXPERT_AXIS,
         )
+        grads = clip_fn(grads)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
         new_state = state.replace(

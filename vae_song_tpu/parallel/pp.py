@@ -34,6 +34,8 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
+from vae_song_tpu.parallel import optree
+
 STAGE_AXIS = "stage"
 
 
@@ -162,31 +164,11 @@ def make_pp_apply(block_apply: Callable, mesh: Mesh, n_layers: int,
 def _opt_specs(tx, example_params, n_layers: int):
     """PartitionSpec tree for an optax state over stacked layer params:
     any subtree shaped like the params (adam mu/nu) shards on the
-    leading layer axis, everything else replicates. Matched by tree
-    STRUCTURE (like parallel/ep.py), not by leaf shape, so a stray
-    [n_layers]-shaped schedule leaf can't be misclassified."""
+    leading layer axis, everything else replicates. Shared structural
+    walk: parallel/optree.py."""
     del n_layers
-    shapes = jax.eval_shape(tx.init, example_params)
-    param_structure = jax.tree.structure(example_params)
-
-    def walk(node):
-        try:
-            if jax.tree.structure(node) == param_structure:
-                return jax.tree.map(lambda _: P(STAGE_AXIS), node)
-        except Exception:
-            pass
-        if isinstance(node, tuple) and hasattr(node, "_fields"):
-            return type(node)(*[walk(getattr(node, f)) for f in node._fields])
-        if isinstance(node, (tuple, list)):
-            return type(node)(walk(c) for c in node)
-        if isinstance(node, dict):
-            # optax states can nest dicts (multi_transform,
-            # inject_hyperparams) — recurse so param-shaped subtrees
-            # inside them still shard on the stage axis
-            return {k: walk(v) for k, v in node.items()}
-        return jax.tree.map(lambda _: P(), node)
-
-    return walk(shapes)
+    pspecs = jax.tree.map(lambda _: P(STAGE_AXIS), example_params)
+    return optree.opt_state_specs(tx, example_params, pspecs)
 
 
 def shard_pp_state(params, opt_state, mesh: Mesh, tx, n_layers: int):

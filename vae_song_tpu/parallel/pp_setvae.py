@@ -46,6 +46,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
+from vae_song_tpu.parallel import optree
 from vae_song_tpu.parallel.pp import STAGE_AXIS, _pipeline, make_pp_mesh
 from vae_song_tpu.nn.blocks import Dense
 from vae_song_tpu.models.setvae import TransformerEncoderLayer
@@ -86,27 +87,34 @@ def pp_param_specs(pp_params):
 
 def _opt_specs(tx, pp_params):
     """Optimizer-state specs: param-shaped subtrees (adam mu/nu) get the
-    param specs, everything else replicates. Same structural walk as
-    parallel/pp.py, dicts included."""
-    shapes = jax.eval_shape(tx.init, pp_params)
-    param_structure = jax.tree.structure(pp_params)
-    pspecs = pp_param_specs(pp_params)
+    param specs, everything else replicates. Shared structural walk:
+    parallel/optree.py."""
+    return optree.opt_state_specs(tx, pp_params, pp_param_specs(pp_params))
 
-    def walk(node):
-        try:
-            if jax.tree.structure(node) == param_structure:
-                return pspecs
-        except Exception:
-            pass
-        if isinstance(node, tuple) and hasattr(node, "_fields"):
-            return type(node)(*[walk(getattr(node, f)) for f in node._fields])
-        if isinstance(node, (tuple, list)):
-            return type(node)(walk(c) for c in node)
-        if isinstance(node, dict):
-            return {k: walk(v) for k, v in node.items()}
-        return jax.tree.map(lambda _: P(), node)
 
-    return walk(shapes)
+def split_opt_state(opt_state, full_params_example, n_layers: int):
+    """Full-model optax state -> pipeline-split format: every subtree
+    shaped like the flax params (adam mu/nu) goes through split_params,
+    bookkeeping leaves (counts) pass through. Inverse of
+    merge_opt_state; lets a resumed run restore Adam moments and the
+    schedule position into the PP step instead of tx.init-ing fresh."""
+    return optree.map_opt_params(
+        opt_state, full_params_example, lambda sub: split_params(sub, n_layers)
+    )
+
+
+def merge_opt_state(opt_state, pp_params_example, n_layers: int):
+    """Pipeline-split optax state -> full-model format (for
+    checkpointing with the standard TrainState paths)."""
+    return optree.map_opt_params(
+        opt_state, pp_params_example, lambda sub: merge_params(sub, n_layers)
+    )
+
+
+def _is_stage_leaf(path) -> bool:
+    """Grad leaves sharded P('stage'): the stacked encoder-layer
+    subtree under the top-level 'enc_stack' key."""
+    return bool(path) and getattr(path[0], "key", None) == "enc_stack"
 
 
 def shard_pp_setvae_state(pp_params, opt_state, mesh: Mesh, tx):
@@ -120,7 +128,8 @@ def shard_pp_setvae_state(pp_params, opt_state, mesh: Mesh, tx):
 
 
 def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
-                              latent_rand_sampling: bool = True) -> Callable:
+                              latent_rand_sampling: bool = True,
+                              grad_clip: dict | None = None) -> Callable:
     """Pipelined SetVAE train step over mesh axis 'stage'.
 
     step(pp_params, opt_state, x, wu_alpha, rng)
@@ -141,6 +150,17 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             f"stack; got {type(model).__name__} use_attention="
             f"{model.use_attention}"
         )
+    if getattr(model, "attn_dropout", 0.0):
+        # dropout layers carry no params, so a silent 0.0 here would
+        # train WITHOUT dropout and diverge from the single-device run
+        # of the same config with no error — refuse loudly instead
+        raise NotImplementedError(
+            f"attn_dropout={model.attn_dropout} is not supported under "
+            "pipeline parallelism (the PP step rebuilds the layers with "
+            "dropout_rate=0.0); set attn_dropout: 0 or drop "
+            "pipeline_parallel"
+        )
+    clip_fn = optree.make_shardmap_clip(grad_clip, _is_stage_leaf, STAGE_AXIS)
     n_stages = mesh.shape[STAGE_AXIS]
     n_layers = model.num_encoder_layers
     if n_layers % n_stages != 0:
@@ -200,6 +220,9 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             "pre": lax.psum(grads["pre"], STAGE_AXIS),             # stage-0 gated
             "post": lax.pmean(grads["post"], STAGE_AXIS),          # redundant
         }
+        # grad clip (if configured) happens HERE with the true global
+        # norm — tx must be clip-free, see make_shardmap_clip
+        grads = clip_fn(grads)
         updates, new_opt = tx.update(grads, opt_state, pp_params)
         new_params = jax.tree.map(lambda a, u: a + u, pp_params, updates)
         # SetVAE.loss returns the UNSCALED KL as its reg term

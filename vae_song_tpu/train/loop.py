@@ -140,10 +140,19 @@ def train_and_test(
         model, train_ds.X[:batch_size], seed=seed, L=num_mc_samples
     )
 
+    if pipeline_parallel and pipeline_parallel > 1 and expert_parallel:
+        raise ValueError("pipeline_parallel and expert_parallel are exclusive")
+
+    # PP/EP hold per-device-DIFFERENT grad slices inside shard_map, so a
+    # norm clip chained into tx would compute a different global norm on
+    # every device and silently de-replicate the replicated params; those
+    # step builders apply the clip themselves with the true (psum'd)
+    # global norm (parallel/optree.py:make_shardmap_clip)
+    clip_in_step = (pipeline_parallel and pipeline_parallel > 1) or expert_parallel
     tx = make_optimizer(
         lr=lr,
         total_steps=max(1, epochs * steps_per_epoch) if use_cosine else None,
-        grad_clip=grad_clip,
+        grad_clip=None if clip_in_step else grad_clip,
     )
     state = TrainState.create(params, batch_stats, tx)
 
@@ -215,8 +224,8 @@ def train_and_test(
             )
         from vae_song_tpu.parallel.pp import make_pp_mesh
         from vae_song_tpu.parallel.pp_setvae import (
-            make_setvae_pp_train_step, merge_params, shard_pp_setvae_state,
-            split_params,
+            make_setvae_pp_train_step, merge_opt_state, merge_params,
+            shard_pp_setvae_state, split_opt_state, split_params,
         )
 
         pp_mesh = make_pp_mesh(pipeline_parallel)
@@ -228,22 +237,37 @@ def train_and_test(
              if batch_size % m == 0),
             1,
         )
-        pp_step_fn = make_setvae_pp_train_step(model, tx, pp_mesh, n_micro)
-        pp0 = split_params(state.params, model.num_encoder_layers)
-        pp_sharded, pp_opt = shard_pp_setvae_state(pp0, tx.init(pp0), pp_mesh, tx)
+        pp_step_fn = make_setvae_pp_train_step(
+            model, tx, pp_mesh, n_micro, grad_clip=grad_clip
+        )
+        pp_n_layers = model.num_encoder_layers
+        pp0 = split_params(state.params, pp_n_layers)
+        # restore Adam moments + schedule position from the TrainState's
+        # opt_state (identical to tx.init on a fresh run; carries the
+        # checkpointed moments on resume_from)
+        pp_opt0 = split_opt_state(state.opt_state, state.params, pp_n_layers)
+        pp_sharded, pp_opt = shard_pp_setvae_state(pp0, pp_opt0, pp_mesh, tx)
         pp_box = {"params": pp_sharded, "opt": pp_opt}
 
         def train_step(state, x, wu, key):
             pp_box["params"], pp_box["opt"], m = pp_step_fn(
                 pp_box["params"], pp_box["opt"], x, wu, key
             )
-            return state, m
+            return state.replace(step=state.step + 1), m
 
         def pp_sync(state):
+            # merge params AND opt state back into the TrainState so
+            # eval/checkpoint/resume see the trained run, not tx.init
             merged = merge_params(
-                jax.device_get(pp_box["params"]), model.num_encoder_layers
+                jax.device_get(pp_box["params"]), pp_n_layers
             )
-            return state.replace(params=jax.tree.map(jnp.asarray, merged))
+            merged_opt = merge_opt_state(
+                jax.device_get(pp_box["opt"]), pp0, pp_n_layers
+            )
+            return state.replace(
+                params=jax.tree.map(jnp.asarray, merged),
+                opt_state=jax.tree.map(jnp.asarray, merged_opt),
+            )
 
         eval_step = make_eval_step(model)
 
@@ -276,7 +300,7 @@ def train_and_test(
 
         ep_mesh = make_ep_mesh(n_exp)
         ep_train = make_setvae_ep_train_step(
-            model, tx, ep_mesh, state, L=num_mc_samples
+            model, tx, ep_mesh, state, L=num_mc_samples, grad_clip=grad_clip
         )
         ep_eval = make_setvae_ep_eval_step(
             model, ep_mesh, state, L=num_mc_samples

@@ -77,12 +77,15 @@ def device_memory_mb() -> float:
 
     Prefers the runtime allocator's own counter; the tunneled axon
     backend returns None from memory_stats(), so fall back to summing
-    live committed arrays (params/opt state/datasets — everything the
-    framework holds a handle to; excludes allocator overhead and
-    transient scratch, so it is a floor, not a peak).
+    the DEVICE-0 shards of live arrays (params/opt state/datasets —
+    everything the framework holds a handle to; excludes allocator
+    overhead and transient scratch, so it is a floor, not a peak).
+    Per-shard so a mesh-sharded array contributes only its device-0
+    slice bytes, keeping the number per-device under DP/EP runs.
     """
+    d0 = jax.devices()[0]
     try:
-        stats = jax.devices()[0].memory_stats()
+        stats = d0.memory_stats()
         if stats is not None:
             return stats.get("bytes_in_use", 0) / (1024.0**2)
     except Exception:
@@ -90,9 +93,9 @@ def device_memory_mb() -> float:
     try:
         total = 0
         for a in jax.live_arrays():
-            devs = a.devices()
-            if devs and next(iter(devs)).platform == "tpu":
-                total += a.nbytes
+            for sh in a.addressable_shards:
+                if sh.device == d0:
+                    total += sh.data.nbytes
         return total / (1024.0**2)
     except Exception:
         return 0.0

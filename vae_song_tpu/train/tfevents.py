@@ -115,6 +115,11 @@ class EventFileWriter:
 
     def add_scalar(self, tag, value, step):
         self._f.write(_record(_scalar_event(tag, float(value), step, time.time())))
+        # flush every record: scalars arrive a handful per EPOCH, so
+        # this costs nothing, and a killed multi-hour run keeps its
+        # curve (torch's SummaryWriter flushes every ~120 s; buffering
+        # until close() would lose everything on SIGKILL)
+        self._f.flush()
 
     def flush(self):
         self._f.flush()
