@@ -12,6 +12,7 @@ import pytest
 from vae_song_tpu.models import SetVAE
 from vae_song_tpu.parallel.pp import make_pp_mesh
 from vae_song_tpu.parallel.pp_setvae import (
+    make_dp_pp_mesh,
     make_setvae_pp_train_step,
     merge_params,
     shard_pp_setvae_state,
@@ -90,6 +91,88 @@ def test_pp_setvae_matches_single_device(n_stages, n_micro):
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-6,
             err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_dp_pp_setvae_matches_single_device():
+    """Combined DP x PP on a 2x2 ('data','stage') mesh: batch shards
+    across two pipelines, grads pmean across them — must equal the MEAN
+    of the two shards' single-device composite gradients (DP's exact
+    semantics). The full-batch composite gradient is NOT bit-comparable:
+    the decoder's batch-constant first self-attention sums its broadcast
+    cotangent over the batch BEFORE _xla_attention's by-design bf16
+    backward matmuls, so batch-split vs full-batch gradients differ at
+    the documented ~1e-3 bf16 level (ops/attention.py:84) — the loss,
+    computed before any bf16 cotangent rounding, IS checked against the
+    full batch."""
+    model = _model()
+    x = _data()
+    params, _ = init_model(model, x[:2], seed=0)
+    wu = jnp.float32(1.0)
+
+    want_loss, _ = _single_device_grads(model, params, jnp.asarray(x), wu)
+    _, g_a = _single_device_grads(model, params, jnp.asarray(x[:4]), wu)
+    _, g_b = _single_device_grads(model, params, jnp.asarray(x[4:]), wu)
+    want_grads = jax.tree.map(lambda a, b: (a + b) / 2, g_a, g_b)
+
+    mesh = make_dp_pp_mesh(2, 2)
+    tx = optax.sgd(1.0)  # params - new_params == gradient
+    pp = split_params(params, N_LAYERS)
+    pp_host = jax.tree.map(np.asarray, pp)
+    step = make_setvae_pp_train_step(model, tx, mesh, n_micro=2,
+                                     latent_rand_sampling=False)
+    p_sh, o_sh = shard_pp_setvae_state(pp, tx.init(pp), mesh, tx)
+    new_pp, _, metrics = step(p_sh, o_sh, jnp.asarray(x), wu,
+                              jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(want_loss),
+                               rtol=1e-5)
+    got_grads = merge_params(
+        jax.tree.map(lambda a, b: a - b, pp_host, jax.device_get(new_pp)),
+        N_LAYERS,
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(got_grads)[0],
+        jax.tree_util.tree_flatten_with_path(want_grads)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-6,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_dp_pp_rand_sampling_decorrelates_shards():
+    """Under DP x PP with latent_rand_sampling, the two data rows must
+    draw DIFFERENT eps (fold_in of the row index): one Adam step from
+    identical shard inputs must produce a different result than the
+    pure-PP step that draws a single shared eps."""
+    model = _model()
+    x = _data()
+    params, _ = init_model(model, x[:2], seed=0)
+    params = jax.tree.map(np.asarray, params)  # steps donate their inputs
+    tx = optax.adam(1e-3)
+    # identical data in both shards: any output difference can only
+    # come from the eps stream
+    x_twin = np.concatenate([x[:4], x[:4]], axis=0)
+
+    pp = split_params(jax.tree.map(jnp.asarray, params), N_LAYERS)
+    step_dp = make_setvae_pp_train_step(model, tx, make_dp_pp_mesh(2, 2),
+                                        n_micro=2)
+    p1, _, _ = step_dp(*shard_pp_setvae_state(pp, tx.init(pp),
+                                              make_dp_pp_mesh(2, 2), tx),
+                       jnp.asarray(x_twin), jnp.float32(1.0),
+                       jax.random.PRNGKey(0))
+    pp = split_params(jax.tree.map(jnp.asarray, params), N_LAYERS)
+    step_pp = make_setvae_pp_train_step(model, tx, make_pp_mesh(2), n_micro=2)
+    p2, _, _ = step_pp(*shard_pp_setvae_state(pp, tx.init(pp),
+                                              make_pp_mesh(2), tx),
+                       jnp.asarray(x[:4]), jnp.float32(1.0),
+                       jax.random.PRNGKey(0))
+    deltas = [
+        float(jnp.abs(jnp.asarray(a) - jnp.asarray(b)).max())
+        for a, b in zip(jax.tree.leaves(jax.device_get(p1)),
+                        jax.tree.leaves(jax.device_get(p2)))
+    ]
+    assert max(deltas) > 1e-7, deltas
 
 
 def test_pp_setvae_adam_step_trains():

@@ -34,8 +34,14 @@ Supports SetVAE (composite loss; the reference detaches SetVAE's aux
 terms, model.py:1084). SetLRVAE's double-encode would run the pipeline
 twice per step — possible, but out of scope until a config needs it.
 
-Config key `pipeline_parallel: S` in model_params routes
-cli.main/train_and_test here (train/loop.py).
+Composes with data parallelism: make_dp_pp_mesh builds a 2-D
+('data', 'stage') mesh where each data row pipelines its own batch
+shard down its stage column and gradients pmean across rows — the
+same composition pattern as the DPxTP and DPxSP meshes.
+
+Config keys `pipeline_parallel: S` (+ `data_parallel: true` for
+DP x PP) in model_params route cli.main/train_and_test here
+(train/loop.py).
 """
 
 from typing import Callable
@@ -53,6 +59,24 @@ from vae_song_tpu.models.setvae import TransformerEncoderLayer
 from vae_song_tpu.ops import losses
 
 ENC_LAYER = "TransformerEncoderLayer_"
+DATA_AXIS = "data"
+
+
+def make_dp_pp_mesh(n_data: int, n_stages: int, devices=None) -> Mesh:
+    """2-D ('data', 'stage') mesh for combined DP x PP: each data row
+    runs its own pipeline down its stage column. 'stage' is the MINOR
+    (fastest-varying) axis so each pipeline's ppermute hops ride
+    adjacent-device ICI links while the less frequent gradient pmean
+    crosses rows."""
+    devices = devices if devices is not None else jax.devices()
+    n = n_data * n_stages
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices for a {n_data}x{n_stages} "
+                         f"data x stage mesh; have {len(devices)}")
+    return Mesh(
+        np.array(devices[:n]).reshape(n_data, n_stages),
+        (DATA_AXIS, STAGE_AXIS),
+    )
 
 
 def split_params(params, n_layers: int):
@@ -134,15 +158,24 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
 
     step(pp_params, opt_state, x, wu_alpha, rng)
       -> (pp_params, opt_state, metrics)
-    x: [B, N, 3] replicated; B % n_micro == 0;
+    x: [B, N, 3]; B % n_micro == 0;
     model.num_encoder_layers % n_stages == 0.
 
+    Combined DP x PP: pass a ('data', 'stage') mesh from
+    make_dp_pp_mesh — x is sharded P('data') on the batch axis, each
+    data row pipelines its own shard down its stage column, and the
+    stage-reduced gradients are pmean'd over 'data' before the
+    (replicated) optimizer update. Exact parity with the single-device
+    composite step either way (tests/test_pp_setvae.py). With a pure
+    ('stage',) mesh x is replicated and nothing crosses rows.
+
     RNG note: eps is drawn from the replicated `rng` directly (every
-    stage draws the same noise) — an equally-valid random stream, but
-    not bit-identical to the single-device path's flax make_rng
-    derivation; the exact-parity test therefore compares with
-    latent_rand_sampling=False (z = mu), which removes the only
-    stream-dependent quantity.
+    stage draws the same noise; under DP x PP it is fold_in'd with the
+    data row index so batch shards decorrelate, like the DP/EP steps) —
+    an equally-valid random stream, but not bit-identical to the
+    single-device path's flax make_rng derivation; the exact-parity
+    test therefore compares with latent_rand_sampling=False (z = mu),
+    which removes the only stream-dependent quantity.
     """
     if not (model.use_attention and type(model).__name__ == "SetVAE"):
         raise ValueError(
@@ -161,6 +194,7 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             "pipeline_parallel"
         )
     clip_fn = optree.make_shardmap_clip(grad_clip, _is_stage_leaf, STAGE_AXIS)
+    has_dp = DATA_AXIS in mesh.axis_names
     n_stages = mesh.shape[STAGE_AXIS]
     n_layers = model.num_encoder_layers
     if n_layers % n_stages != 0:
@@ -193,6 +227,11 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
         return y
 
     def per_device(pp_params, opt_state, x, wu_alpha, rng):
+        if has_dp and latent_rand_sampling:
+            # decorrelate the sampling eps across batch shards (the
+            # same convention as the DP and EP steps)
+            rng = jax.random.fold_in(rng, lax.axis_index(DATA_AXIS))
+
         def loss_fn(p):
             h = in_proj.apply({"params": p["pre"]["in_proj"]}, x)
             hm = h.reshape((n_micro, h.shape[0] // n_micro) + h.shape[1:])
@@ -220,24 +259,31 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             "pre": lax.psum(grads["pre"], STAGE_AXIS),             # stage-0 gated
             "post": lax.pmean(grads["post"], STAGE_AXIS),          # redundant
         }
+        # SetVAE.loss returns the UNSCALED KL as its reg term
+        # (models/setvae.py:377-381), matching make_train_step's raw_kl
+        metrics = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s,
+                   "raw_kl": reg_s}
+        if has_dp:
+            # per-shard batch-mean grads/metrics -> global batch mean
+            # (equal shard sizes); AFTER this, grads differ only across
+            # stages, which is what the stage-axis clip assumes
+            grads = lax.pmean(grads, DATA_AXIS)
+            metrics = lax.pmean(metrics, DATA_AXIS)
         # grad clip (if configured) happens HERE with the true global
         # norm — tx must be clip-free, see make_shardmap_clip
         grads = clip_fn(grads)
         updates, new_opt = tx.update(grads, opt_state, pp_params)
         new_params = jax.tree.map(lambda a, u: a + u, pp_params, updates)
-        # SetVAE.loss returns the UNSCALED KL as its reg term
-        # (models/setvae.py:377-381), matching make_train_step's raw_kl
-        metrics = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s,
-                   "raw_kl": reg_s}
         return new_params, new_opt, metrics
 
     def build(pp_params_example):
         p_specs = pp_param_specs(pp_params_example)
         o_specs = _opt_specs(tx, pp_params_example)
+        x_spec = P(DATA_AXIS) if has_dp else P()
         sharded = jax.shard_map(
             per_device,
             mesh=mesh,
-            in_specs=(p_specs, o_specs, P(), P(), P()),
+            in_specs=(p_specs, o_specs, x_spec, P(), P()),
             out_specs=(p_specs, o_specs, P()),
             check_vma=False,
         )

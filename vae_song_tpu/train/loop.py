@@ -118,7 +118,10 @@ def train_and_test(
     pipeline_parallel: >= 2 runs the attention SetVAE encoder stack as
     GPipe pipeline stages over that many devices
     (parallel/pp_setvae.py); params merge back for eval/checkpoints.
-    Config key `pipeline_parallel` in model_params (cli/main.py).
+    Composes with data_parallel: device_count // pipeline_parallel
+    independent pipelines each take a batch shard, gradients pmean
+    across them (make_dp_pp_mesh). Config key `pipeline_parallel` in
+    model_params (cli/main.py).
     expert_parallel: train a MoE set model (moe_experts > 1) with its
     experts sharded one-per-device and all_to_all token exchange
     (parallel/ep.py:make_setvae_ep_train_step); batch sharded over the
@@ -215,8 +218,6 @@ def train_and_test(
 
     pp_sync = None
     if pipeline_parallel and pipeline_parallel > 1:
-        if data_parallel:
-            raise ValueError("pipeline_parallel and data_parallel are exclusive")
         if jax.device_count() < pipeline_parallel:
             raise ValueError(
                 f"pipeline_parallel={pipeline_parallel} needs that many "
@@ -224,17 +225,38 @@ def train_and_test(
             )
         from vae_song_tpu.parallel.pp import make_pp_mesh
         from vae_song_tpu.parallel.pp_setvae import (
-            make_setvae_pp_train_step, merge_opt_state, merge_params,
-            shard_pp_setvae_state, split_opt_state, split_params,
+            make_dp_pp_mesh, make_setvae_pp_train_step, merge_opt_state,
+            merge_params, shard_pp_setvae_state, split_opt_state,
+            split_params,
         )
 
-        pp_mesh = make_pp_mesh(pipeline_parallel)
+        # data_parallel composes: every group of `pipeline_parallel`
+        # devices forms one pipeline, batch shards across the groups
+        n_data = (
+            jax.device_count() // pipeline_parallel if data_parallel else 1
+        )
+        if data_parallel and n_data < 2:
+            raise ValueError(
+                f"data_parallel x pipeline_parallel={pipeline_parallel} "
+                f"needs >= {2 * pipeline_parallel} devices; have "
+                f"{jax.device_count()}"
+            )
+        if batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must divide over {n_data} "
+                "data-parallel pipelines"
+            )
+        pp_mesh = (
+            make_dp_pp_mesh(n_data, pipeline_parallel)
+            if n_data > 1 else make_pp_mesh(pipeline_parallel)
+        )
         # GPipe wants n_micro >= n_stages for a small bubble; pick the
-        # smallest multiple of n_stages dividing the batch, else fall
-        # back to any divisor
+        # smallest multiple of n_stages dividing the PER-PIPELINE batch,
+        # else fall back to any divisor
+        shard_bs = batch_size // n_data
         n_micro = next(
             (m for m in range(pipeline_parallel, 4 * pipeline_parallel + 1)
-             if batch_size % m == 0),
+             if shard_bs % m == 0),
             1,
         )
         pp_step_fn = make_setvae_pp_train_step(
