@@ -9,7 +9,7 @@ import jax.numpy as jnp
 import optax
 import pytest
 
-from vae_song_tpu.models import SetVAE
+from vae_song_tpu.models import SetLRVAE, SetVAE
 from vae_song_tpu.parallel.pp import make_pp_mesh
 from vae_song_tpu.parallel.pp_setvae import (
     make_dp_pp_mesh,
@@ -87,6 +87,56 @@ def test_pp_setvae_matches_single_device(n_stages, n_micro):
     ):
         # atol floor: the params-minus-new-params extraction loses the
         # low f32 bits of tiny gradient entries to the subtraction
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-6,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_pp_setlrvae_matches_single_device():
+    """SetLRVAE under PP: the latent-recon re-encode runs the pipeline a
+    SECOND time — gradients (detached-z decode, re-encode path through
+    both passes' collective transposes) must equal the single-device
+    composite step."""
+    model = SetLRVAE(latent_channel=8, num_points=N, d_model=16, num_heads=2,
+                     ff_dim=32, beta=0.1, alpha=0.01,
+                     num_encoder_layers=N_LAYERS, num_decoder_layers=1)
+    x = _data()
+    params, _ = init_model(model, x[:2], seed=0)
+    wu = jnp.float32(1.0)
+
+    want_loss, want_grads = _single_device_grads(model, params, jnp.asarray(x), wu)
+    # the latent-recon term must be live, else the second pipeline pass
+    # contributes nothing and this test reduces to the SetVAE one
+    lr_term = float(model.loss(
+        jnp.asarray(x),
+        *model.apply({"params": params}, jnp.asarray(x),
+                     latent_rand_sampling=False, train=True),
+        wu_alpha=wu,
+    )[3])
+    assert lr_term > 0.0, lr_term
+
+    mesh = make_pp_mesh(2)
+    tx = optax.sgd(1.0)
+    pp = split_params(params, N_LAYERS)
+    pp_host = jax.tree.map(np.asarray, pp)
+    step = make_setvae_pp_train_step(model, tx, mesh, n_micro=4,
+                                     latent_rand_sampling=False)
+    p_sh, o_sh = shard_pp_setvae_state(pp, tx.init(pp), mesh, tx)
+    new_pp, _, metrics = step(p_sh, o_sh, jnp.asarray(x), wu,
+                              jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(metrics["loss"]), float(want_loss),
+                               rtol=1e-5)
+    assert float(metrics["lr"]) > 0.0
+    got_grads = merge_params(
+        jax.tree.map(lambda a, b: a - b, pp_host, jax.device_get(new_pp)),
+        N_LAYERS,
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(got_grads)[0],
+        jax.tree_util.tree_flatten_with_path(want_grads)[0],
+    ):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-6,
             err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}",

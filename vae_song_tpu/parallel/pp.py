@@ -65,6 +65,36 @@ def _rfp_bwd(axis_name, _, ct):
 _replicate_from_psum.defvjp(_rfp_fwd, _rfp_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def psum_cotangent(x, axis_name):
+    """Identity whose TRANSPOSE is a psum: use on a replicated value
+    that feeds the pipeline's stage-0 gate when its gradient must be
+    seen by params living on EVERY stage.
+
+    The GPipe feed gate (jnp.where(s == 0, ...) in _pipeline) delivers
+    the pipeline-input cotangent only on stage 0; a replicated upstream
+    computation (e.g. the set decoder producing the cloud that a second
+    pipeline pass re-encodes) would then get a stage-0-only gradient
+    contribution that a pmean over stages silently scales by 1/S. This
+    op psums the gated cotangent so every stage sees the full value,
+    restoring the redundantly-identical-grads convention. Apply it ONLY
+    to the branch consumed by the pipeline — other consumers (e.g. the
+    Chamfer term) already carry redundant cotangents that a psum would
+    overcount S times."""
+    return x
+
+
+def _psc_fwd(x, axis_name):
+    return x, None
+
+
+def _psc_bwd(axis_name, _, ct):
+    return (lax.psum(ct, axis_name),)
+
+
+psum_cotangent.defvjp(_psc_fwd, _psc_bwd)
+
+
 def make_pp_mesh(n_stages: int, devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
     return Mesh(np.array(devices[:n_stages]), (STAGE_AXIS,))

@@ -31,8 +31,11 @@ Both conventions are exact (no approximation): verified to 1e-5
 against the single-device composite step in tests/test_pp_setvae.py.
 
 Supports SetVAE (composite loss; the reference detaches SetVAE's aux
-terms, model.py:1084). SetLRVAE's double-encode would run the pipeline
-twice per step — possible, but out of scope until a config needs it.
+terms, model.py:1084) and SetLRVAE (model.py:1087-1114): the
+latent-reconstruction re-encode runs the SAME pipeline a second time on
+the decoded cloud — two GPipe passes per step, each microbatched, with
+the stage-local/psum/pmean gradient conventions unchanged (the second
+pass's cotangents ride the same collective transposes).
 
 Composes with data parallelism: make_dp_pp_mesh builds a 2-D
 ('data', 'stage') mesh where each data row pipelines its own batch
@@ -53,7 +56,9 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from vae_song_tpu.parallel import optree
-from vae_song_tpu.parallel.pp import STAGE_AXIS, _pipeline, make_pp_mesh
+from vae_song_tpu.parallel.pp import (
+    STAGE_AXIS, _pipeline, make_pp_mesh, psum_cotangent,
+)
 from vae_song_tpu.nn.blocks import Dense
 from vae_song_tpu.models.setvae import TransformerEncoderLayer
 from vae_song_tpu.ops import losses
@@ -177,10 +182,12 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
     test therefore compares with latent_rand_sampling=False (z = mu),
     which removes the only stream-dependent quantity.
     """
-    if not (model.use_attention and type(model).__name__ == "SetVAE"):
+    is_lr = type(model).__name__ == "SetLRVAE"
+    if not (model.use_attention and
+            type(model).__name__ in ("SetVAE", "SetLRVAE")):
         raise ValueError(
-            "pipeline parallelism drives the attention SetVAE encoder "
-            f"stack; got {type(model).__name__} use_attention="
+            "pipeline parallelism drives the attention SetVAE/SetLRVAE "
+            f"encoder stack; got {type(model).__name__} use_attention="
             f"{model.use_attention}"
         )
     if getattr(model, "attn_dropout", 0.0):
@@ -233,25 +240,59 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             rng = jax.random.fold_in(rng, lax.axis_index(DATA_AXIS))
 
         def loss_fn(p):
-            h = in_proj.apply({"params": p["pre"]["in_proj"]}, x)
-            hm = h.reshape((n_micro, h.shape[0] // n_micro) + h.shape[1:])
-            y = _pipeline(stage_fn, p["enc_stack"], hm, STAGE_AXIS, n_stages)
-            y = y.reshape(h.shape[:1] + y.shape[2:])
-            s = y.max(axis=1)
-            mu = mu_head.apply({"params": p["post"]["enc_rest"]["Dense_1"]}, s)
-            log_var = lv_head.apply({"params": p["post"]["enc_rest"]["Dense_2"]}, s)
+            def pipelined_encode(pts):
+                h = in_proj.apply({"params": p["pre"]["in_proj"]}, pts)
+                hm = h.reshape(
+                    (n_micro, h.shape[0] // n_micro) + h.shape[1:]
+                )
+                y = _pipeline(
+                    stage_fn, p["enc_stack"], hm, STAGE_AXIS, n_stages
+                )
+                y = y.reshape(h.shape[:1] + y.shape[2:])
+                s = y.max(axis=1)
+                mu = mu_head.apply(
+                    {"params": p["post"]["enc_rest"]["Dense_1"]}, s
+                )
+                log_var = lv_head.apply(
+                    {"params": p["post"]["enc_rest"]["Dense_2"]}, s
+                )
+                return mu, log_var
+
+            mu, log_var = pipelined_encode(x)
             if latent_rand_sampling:
                 eps = jax.random.normal(rng, mu.shape, mu.dtype)
                 z = mu + eps * jnp.exp(0.5 * log_var)
             else:
                 z = mu
-            recon = decoder.apply({"params": p["post"]["decoder"]}, z, train=True)
-            total, rec, reg_s, lr_s = model.loss(
-                x, recon, mu, log_var, wu_alpha=wu_alpha
-            )
-            return total, (rec, reg_s, lr_s)
+            if is_lr:
+                # SetLRVAE: decode from the DETACHED z, re-encode the
+                # cloud through a second pipeline pass (model.py:1094-1114)
+                recon = decoder.apply(
+                    {"params": p["post"]["decoder"]},
+                    lax.stop_gradient(z), train=True,
+                )
+                # the pipeline's feed gate delivers recon's re-encode
+                # cotangent only on stage 0, but the decoder params that
+                # produced recon live (replicated) on every stage —
+                # psum the gated cotangent so their pmean'd grads keep
+                # the full latent-recon term (see pp.psum_cotangent)
+                z_recon, _ = pipelined_encode(psum_cotangent(recon, STAGE_AXIS))
+                total, rec, reg_s, lr_s = model.loss(
+                    x, recon, mu, log_var, z, z_recon, wu_alpha=wu_alpha
+                )
+            else:
+                recon = decoder.apply(
+                    {"params": p["post"]["decoder"]}, z, train=True
+                )
+                total, rec, reg_s, lr_s = model.loss(
+                    x, recon, mu, log_var, wu_alpha=wu_alpha
+                )
+            # unscaled KL for the kl_adaptive warmup channel (SetVAE's
+            # reg term is already unscaled; SetLRVAE's is beta-scaled)
+            raw_kl = losses.kl_divergence(mu, log_var)
+            return total, (rec, reg_s, lr_s, raw_kl)
 
-        (total, (rec, reg_s, lr_s)), grads = jax.value_and_grad(
+        (total, (rec, reg_s, lr_s, raw_kl)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(pp_params)
         grads = {
@@ -259,10 +300,8 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             "pre": lax.psum(grads["pre"], STAGE_AXIS),             # stage-0 gated
             "post": lax.pmean(grads["post"], STAGE_AXIS),          # redundant
         }
-        # SetVAE.loss returns the UNSCALED KL as its reg term
-        # (models/setvae.py:377-381), matching make_train_step's raw_kl
         metrics = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s,
-                   "raw_kl": reg_s}
+                   "raw_kl": raw_kl}
         if has_dp:
             # per-shard batch-mean grads/metrics -> global batch mean
             # (equal shard sizes); AFTER this, grads differ only across

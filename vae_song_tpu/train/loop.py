@@ -115,8 +115,8 @@ def train_and_test(
     (data/native.py:NativeBatchLoader — the DataLoader(num_workers=8)
     analogue, main.py:186); changes the shuffle stream, so keep it OFF
     when comparing trajectories against non-prefetch runs.
-    pipeline_parallel: >= 2 runs the attention SetVAE encoder stack as
-    GPipe pipeline stages over that many devices
+    pipeline_parallel: >= 2 runs the attention SetVAE/SetLRVAE encoder
+    stack as GPipe pipeline stages over that many devices
     (parallel/pp_setvae.py); params merge back for eval/checkpoints.
     Composes with data_parallel: device_count // pipeline_parallel
     independent pipelines each take a batch shard, gradients pmean
