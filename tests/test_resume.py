@@ -84,3 +84,51 @@ def test_data_parallel_training(tmp_path):
         _model(), data_parallel=True, **_common(tmp_path)
     )
     assert np.isfinite(summary["eval"]["loss"])
+
+
+def test_pipeline_parallel_resume_matches_continuous(tmp_path):
+    """Resume THROUGH the pipeline-parallel path: the checkpoint holds
+    the merged params + optimizer state (pp_sync), and the PP trainer
+    restores the Adam moments and cosine-schedule position via
+    split_opt_state — so resuming from epoch 2 of 4 must reproduce the
+    continuous run's final params exactly."""
+    from vae_song_tpu.models import SetVAE
+
+    def _set_model():
+        return SetVAE(latent_channel=8, num_points=16, d_model=16,
+                      num_heads=2, ff_dim=32, beta=0.1,
+                      num_encoder_layers=2, num_decoder_layers=1)
+
+    common = dict(
+        epochs=4,
+        batch_size=16,
+        dataset_name="shapenet",
+        resultname="res_pp",
+        dataset_params={"fake": True, "num_samples": 32, "num_points": 16},
+        visualize_artifacts=False,
+        progress=False,
+        seed=0,
+        pipeline_parallel=2,
+    )
+    cont_state, _ = train_and_test(
+        _set_model(), checkpoint_every=2, output_root=str(tmp_path / "a"),
+        **common,
+    )
+    ckpts = []
+    for root, _d, files in os.walk(str(tmp_path / "a")):
+        ckpts += [os.path.join(root, f) for f in files if f.startswith("ckpt_")]
+    assert ckpts, "periodic checkpoint was not written under PP"
+    ckpt = sorted(ckpts)[0]  # ckpt_1 — end of epoch index 1
+
+    resumed_state, _ = train_and_test(
+        _set_model(), resume_from=ckpt, output_root=str(tmp_path / "b"),
+        **common,
+    )
+    for (path, c), (_, r) in zip(
+        jax.tree_util.tree_flatten_with_path(cont_state.params)[0],
+        jax.tree_util.tree_flatten_with_path(resumed_state.params)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(c), np.asarray(r), rtol=1e-6, atol=1e-7,
+            err_msg=f"resume mismatch at {jax.tree_util.keystr(path)}",
+        )
