@@ -86,6 +86,47 @@ def test_data_parallel_training(tmp_path):
     assert np.isfinite(summary["eval"]["loss"])
 
 
+def test_checkpoint_portable_across_strategies(tmp_path):
+    """A grad_clip run's checkpoint must resume under a DIFFERENT
+    parallel strategy: PP/EP strip the clip from the optax chain (they
+    apply it in-step with the true global norm), but make_optimizer
+    keeps an identity placeholder in the clip slot so the opt_state
+    pytree structure — and therefore flax deserialization — matches the
+    single-device/DP chained-clip optimizer."""
+    from vae_song_tpu.models import SetVAE
+
+    def _set_model():
+        return SetVAE(latent_channel=8, num_points=16, d_model=16,
+                      num_heads=2, ff_dim=32, beta=0.1,
+                      num_encoder_layers=2, num_decoder_layers=1)
+
+    common = dict(
+        epochs=2,
+        batch_size=16,
+        dataset_name="shapenet",
+        resultname="res_xs",
+        dataset_params={"fake": True, "num_samples": 32, "num_points": 16},
+        visualize_artifacts=False,
+        progress=False,
+        seed=0,
+        grad_clip={"enabled": True, "clip_type": "norm", "max_norm": 1.0},
+    )
+    # dense (no PP) run writes the checkpoint with the chained clip
+    train_and_test(_set_model(), checkpoint_every=2,
+                   output_root=str(tmp_path / "a"), **common)
+    ckpts = []
+    for root, _d, files in os.walk(str(tmp_path / "a")):
+        ckpts += [os.path.join(root, f) for f in files if f.startswith("ckpt_")]
+    assert ckpts
+    # resume it under pipeline parallelism (clip moved in-step)
+    state, summary = train_and_test(
+        _set_model(), resume_from=sorted(ckpts)[0], pipeline_parallel=2,
+        output_root=str(tmp_path / "b"), epochs=3,
+        **{k: v for k, v in common.items() if k != "epochs"},
+    )
+    assert np.isfinite(summary["eval"]["loss"])
+
+
 def test_pipeline_parallel_resume_matches_continuous(tmp_path):
     """Resume THROUGH the pipeline-parallel path: the checkpoint holds
     the merged params + optimizer state (pp_sync), and the PP trainer

@@ -66,6 +66,15 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             # model_params key: shard a MoE set model's experts
             # one-per-device with all_to_all exchange (parallel/ep.py)
             expert_parallel=bool(mp.get("expert_parallel", False)),
+            # model_params key: Megatron-style attention-head/FFN
+            # sharding over N devices via GSPMD (parallel/tp.py)
+            tensor_parallel=int(mp.get("tensor_parallel", 0)),
+            # model_params key: shard the point/sequence axis over N
+            # devices (k/v all-gather attention, parallel/sp.py)
+            sequence_parallel=int(mp.get("sequence_parallel", 0)),
+            # model_params key: ZeRO-3-style batch + param + optimizer
+            # sharding over all devices (parallel/fsdp.py)
+            fsdp=bool(mp.get("fsdp", False)),
         )
         results.append(summary)
     return results

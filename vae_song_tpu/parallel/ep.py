@@ -43,7 +43,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
-from vae_song_tpu.parallel import optree  # noqa: F401 (submodule, no cycle)
+from vae_song_tpu.parallel import optree
 
 EXPERT_AXIS = "expert"
 

@@ -103,6 +103,9 @@ def train_and_test(
     native_prefetch: bool = False,
     pipeline_parallel: int = 0,
     expert_parallel: bool = False,
+    tensor_parallel: int = 0,
+    sequence_parallel: int = 0,
+    fsdp: bool = False,
 ):
     """Returns (state, summary dict).
 
@@ -127,6 +130,24 @@ def train_and_test(
     (parallel/ep.py:make_setvae_ep_train_step); batch sharded over the
     'expert' axis so the non-MoE parts run data-parallel. Config key
     `expert_parallel` in model_params (cli/main.py).
+    tensor_parallel: >= 2 trains an attention set model Megatron-style
+    with attention heads / FFN columns sharded over that many devices
+    via GSPMD param shardings (parallel/tp.py) — XLA inserts the
+    activation all-reduces. Composes with data_parallel on a
+    ('data', 'model') mesh. Config key `tensor_parallel` in
+    model_params (cli/main.py).
+    sequence_parallel: >= 2 shards the POINT axis of an attention set
+    model over that many devices (parallel/sp.py): k/v all-gather
+    attention, pmax pooling, per-shard Chamfer — the scaling path for
+    clouds larger than one chip's HBM. Composes with data_parallel on
+    a ('data', 'seq') mesh. Config key `sequence_parallel` in
+    model_params (cli/main.py).
+    fsdp: ZeRO-3-style data parallelism for ANY model family — batch
+    sharded over all devices AND large params + Adam moments sharded
+    over the same axis (parallel/fsdp.py; XLA inserts the all-gather /
+    reduce-scatter pattern). Subsumes data_parallel (which it
+    overrides), with exact global BatchNorm statistics. Config key
+    `fsdp` in model_params (cli/main.py).
     """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
@@ -143,19 +164,38 @@ def train_and_test(
         model, train_ds.X[:batch_size], seed=seed, L=num_mc_samples
     )
 
-    if pipeline_parallel and pipeline_parallel > 1 and expert_parallel:
-        raise ValueError("pipeline_parallel and expert_parallel are exclusive")
+    active_strategies = [
+        name
+        for name, on in (
+            ("pipeline_parallel", pipeline_parallel and pipeline_parallel > 1),
+            ("expert_parallel", expert_parallel),
+            ("tensor_parallel", tensor_parallel and tensor_parallel > 1),
+            ("sequence_parallel", sequence_parallel and sequence_parallel > 1),
+            ("fsdp", fsdp),
+        )
+        if on
+    ]
+    if len(active_strategies) > 1:
+        raise ValueError(
+            f"{' and '.join(active_strategies)} are exclusive (each owns "
+            "the device mesh; compose with data_parallel instead)"
+        )
 
     # PP/EP hold per-device-DIFFERENT grad slices inside shard_map, so a
     # norm clip chained into tx would compute a different global norm on
     # every device and silently de-replicate the replicated params; those
     # step builders apply the clip themselves with the true (psum'd)
-    # global norm (parallel/optree.py:make_shardmap_clip)
-    clip_in_step = (pipeline_parallel and pipeline_parallel > 1) or expert_parallel
+    # global norm (parallel/optree.py:make_shardmap_clip). The tx keeps
+    # an identity placeholder in the clip slot so opt_state checkpoints
+    # stay structure-compatible across strategies.
+    clip_in_step = bool(
+        (pipeline_parallel and pipeline_parallel > 1) or expert_parallel
+    )
     tx = make_optimizer(
         lr=lr,
         total_steps=max(1, epochs * steps_per_epoch) if use_cosine else None,
-        grad_clip=None if clip_in_step else grad_clip,
+        grad_clip=grad_clip,
+        clip_in_step=clip_in_step,
     )
     state = TrainState.create(params, batch_stats, tx)
 
@@ -210,6 +250,7 @@ def train_and_test(
 
     use_scan = (
         not data_parallel
+        and not fsdp
         and augment is None
         and not _model_uses_conv(model)
         and getattr(model, "data_type", None) != "set"
@@ -271,25 +312,37 @@ def train_and_test(
         pp_sharded, pp_opt = shard_pp_setvae_state(pp0, pp_opt0, pp_mesh, tx)
         pp_box = {"params": pp_sharded, "opt": pp_opt}
 
+        # step count stays a HOST integer: a device-scalar add per step
+        # would cost a fixed dispatch latency in the hot loop
+        pp_ctr = {"steps": int(state.step)}
+
         def train_step(state, x, wu, key):
             pp_box["params"], pp_box["opt"], m = pp_step_fn(
                 pp_box["params"], pp_box["opt"], x, wu, key
             )
-            return state.replace(step=state.step + 1), m
+            pp_ctr["steps"] += 1
+            return state, m
 
-        def pp_sync(state):
-            # merge params AND opt state back into the TrainState so
-            # eval/checkpoint/resume see the trained run, not tx.init
+        def pp_sync(state, with_opt=False):
+            # merge params back into the TrainState so eval/checkpoint/
+            # artifact paths see the trained run. The Adam state (2x the
+            # params' bytes over a ~30 MB/s fetch tunnel) is merged only
+            # when a checkpoint actually needs it (with_opt).
             merged = merge_params(
                 jax.device_get(pp_box["params"]), pp_n_layers
             )
-            merged_opt = merge_opt_state(
-                jax.device_get(pp_box["opt"]), pp0, pp_n_layers
-            )
-            return state.replace(
+            state = state.replace(
                 params=jax.tree.map(jnp.asarray, merged),
-                opt_state=jax.tree.map(jnp.asarray, merged_opt),
+                step=jnp.asarray(pp_ctr["steps"], jnp.int32),
             )
+            if with_opt:
+                merged_opt = merge_opt_state(
+                    jax.device_get(pp_box["opt"]), pp0, pp_n_layers
+                )
+                state = state.replace(
+                    opt_state=jax.tree.map(jnp.asarray, merged_opt)
+                )
+            return state
 
         eval_step = make_eval_step(model)
 
@@ -335,6 +388,120 @@ def train_and_test(
 
         def eval_step(state, x, wu, key):
             return ep_eval(state, jax.device_put(x, ep_x_sharding), wu, key)
+    elif tensor_parallel and tensor_parallel > 1:
+        if getattr(model, "data_type", None) != "set" or not getattr(
+            model, "use_attention", False
+        ):
+            raise ValueError(
+                "tensor_parallel targets the attention set models "
+                "(Megatron-style head/FFN sharding, parallel/tp.py); "
+                f"got {type(model).__name__}"
+            )
+        n_data = (
+            jax.device_count() // tensor_parallel if data_parallel else 1
+        )
+        if data_parallel and n_data < 2:
+            raise ValueError(
+                f"data_parallel x tensor_parallel={tensor_parallel} needs "
+                f">= {2 * tensor_parallel} devices; have {jax.device_count()}"
+            )
+        if jax.device_count() < n_data * tensor_parallel:
+            raise ValueError(
+                f"tensor_parallel={tensor_parallel} needs that many "
+                f"devices; have {jax.device_count()}"
+            )
+        if batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must divide over {n_data} "
+                "data-parallel shards"
+            )
+        if model.num_heads % tensor_parallel != 0:
+            raise ValueError(
+                f"num_heads={model.num_heads} must divide over "
+                f"tensor_parallel={tensor_parallel} 'model' shards"
+            )
+        from jax.sharding import NamedSharding, PartitionSpec
+        from vae_song_tpu.parallel.mesh import make_mesh
+        from vae_song_tpu.parallel.tp import make_tp_dp_train_step, shard_state
+
+        tp_mesh = make_mesh(n_data, tensor_parallel)
+        state = shard_state(state, tp_mesh)
+        tp_step = make_tp_dp_train_step(
+            model, tx, tp_mesh, state, L=num_mc_samples
+        )
+        tp_x_sharding = NamedSharding(tp_mesh, PartitionSpec("data"))
+
+        def train_step(state, x, wu, key):
+            return tp_step(state, jax.device_put(x, tp_x_sharding), wu, key)
+
+        # plain jitted eval: the params stay committed to their TP
+        # shardings, so GSPMD partitions the forward pass the same way
+        eval_step = make_eval_step(model)
+    elif sequence_parallel and sequence_parallel > 1:
+        if getattr(model, "data_type", None) != "set":
+            raise ValueError(
+                "sequence_parallel shards the POINT axis of the attention "
+                f"set models (parallel/sp.py); got {type(model).__name__}"
+            )
+        from vae_song_tpu.parallel.sp import (
+            make_sp_eval_step, make_sp_mesh, make_sp_train_step, shard_points,
+        )
+
+        n_data = (
+            jax.device_count() // sequence_parallel if data_parallel else 1
+        )
+        if data_parallel and n_data < 2:
+            raise ValueError(
+                f"data_parallel x sequence_parallel={sequence_parallel} "
+                f"needs >= {2 * sequence_parallel} devices; have "
+                f"{jax.device_count()}"
+            )
+        if jax.device_count() < n_data * sequence_parallel:
+            raise ValueError(
+                f"sequence_parallel={sequence_parallel} needs that many "
+                f"devices; have {jax.device_count()}"
+            )
+        if batch_size % n_data != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must divide over {n_data} "
+                "data-parallel shards"
+            )
+        sp_mesh = make_sp_mesh(n_data, sequence_parallel)
+        sp_train = make_sp_train_step(model, tx, sp_mesh, L=num_mc_samples)
+        sp_eval = make_sp_eval_step(model, sp_mesh, L=num_mc_samples)
+
+        def train_step(state, x, wu, key):
+            return sp_train(state, shard_points(x, sp_mesh), wu, key)
+
+        def eval_step(state, x, wu, key):
+            return sp_eval(state, shard_points(x, sp_mesh), wu, key)
+    elif fsdp:
+        from jax.sharding import NamedSharding, PartitionSpec
+        from vae_song_tpu.parallel.fsdp import (
+            make_fsdp_mesh, make_fsdp_train_step, shard_state,
+        )
+
+        n_dev = jax.device_count()
+        if batch_size % n_dev != 0:
+            raise ValueError(
+                f"batch_size={batch_size} must divide over {n_dev} "
+                "fsdp batch shards"
+            )
+        fsdp_mesh = make_fsdp_mesh(n_dev)
+        state = shard_state(state, fsdp_mesh)
+        fsdp_step = make_fsdp_train_step(
+            model, tx, fsdp_mesh, state, L=num_mc_samples
+        )
+        fsdp_x_sharding = NamedSharding(fsdp_mesh, PartitionSpec("data"))
+
+        def train_step(state, x, wu, key):
+            return fsdp_step(
+                state, jax.device_put(x, fsdp_x_sharding), wu, key
+            )
+
+        # params stay committed to their FSDP shardings, so the plain
+        # jitted eval partitions the forward pass the same way
+        eval_step = make_eval_step(model)
     elif data_parallel and jax.device_count() > 1:
         from vae_song_tpu.parallel import (
             make_mesh, replicate_state, make_dp_train_step, make_dp_eval_step,
@@ -366,6 +533,9 @@ def train_and_test(
         and not data_parallel
         and not pipeline_parallel
         and not expert_parallel
+        and not tensor_parallel
+        and not sequence_parallel
+        and not fsdp
         and not use_scan
         and train_ds.X.nbytes < 512 * 1024 * 1024
         # an explicit native_prefetch request keeps the C++ loader path;
@@ -540,7 +710,12 @@ def train_and_test(
             nb = steps_per_epoch
             last_batch_raw_kl = float(ms_host[-1]["raw_kl"])
         if profiling_this_epoch:
-            jax.block_until_ready(state.step)
+            # under PP the train work lives in pp_box, not state —
+            # block on it so the trace captures the queued steps
+            if pp_sync is not None:
+                jax.block_until_ready(pp_box["params"])
+            else:
+                jax.block_until_ready(state.step)
             prof_ctx.__exit__(None, None, None)
         writer.add_scalar("loss/train", tot["loss"] / nb, epoch)
         writer.add_scalar("recon/train", tot["recon"] / nb, epoch)
@@ -553,12 +728,18 @@ def train_and_test(
 
         # pipeline-parallel: merge the stage-sharded encoder stack back
         # into the flax tree so eval/checkpoint/artifact paths see the
-        # trained params
+        # trained params (+ the optimizer state when this epoch writes a
+        # checkpoint, or at the end so the returned state is complete)
+        last_epoch = epoch == epochs - 1
         if pp_sync is not None:
-            state = pp_sync(state)
+            state = pp_sync(
+                state,
+                with_opt=last_epoch or bool(
+                    checkpoint_every and (epoch + 1) % checkpoint_every == 0
+                ),
+            )
 
         # ---- eval every epoch (main.py:303) ----
-        last_epoch = epoch == epochs - 1
         ev = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
         n_test_batches = num_batches(test_ds, batch_size)
         if eval_epoch_fit is not None and test_X_batches is not None:

@@ -90,6 +90,10 @@ def device_memory_mb() -> float:
             return stats.get("bytes_in_use", 0) / (1024.0**2)
     except Exception:
         pass
+    if d0.platform != "tpu":
+        # forced-CPU runs report 0 like the pre-fallback behavior —
+        # host RAM is not "device memory" in the complexity-table sense
+        return 0.0
     try:
         total = 0
         for a in jax.live_arrays():

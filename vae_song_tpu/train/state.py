@@ -29,6 +29,7 @@ def make_optimizer(
     lr: float = 1e-2,
     total_steps: int | None = None,
     grad_clip: dict | None = None,
+    clip_in_step: bool = False,
 ) -> optax.GradientTransformation:
     """Adam (torch defaults) + optional cosine annealing + grad clip.
 
@@ -36,6 +37,13 @@ def make_optimizer(
     * lipschitz.py:25: Adam(lr) with no scheduler
     * clip applied to the combined grads before the update
       (main.py:285 -> utils.py:12-38)
+
+    clip_in_step: the caller applies the clip itself inside its sharded
+    train step (parallel/optree.make_shardmap_clip — PP/EP, where a
+    chained clip would use per-device norms). The clip slot is filled
+    with optax.identity() so the opt_state PYTREE STRUCTURE is identical
+    to the chained-clip optimizer: checkpoints stay portable between
+    single-device/DP runs and PP/EP runs of the same config.
     """
     if total_steps is not None:
         schedule = optax.cosine_decay_schedule(lr, total_steps)
@@ -46,8 +54,13 @@ def make_optimizer(
     if grad_clip and grad_clip.get("enabled", False):
         clip_type = grad_clip.get("clip_type", "norm")
         if clip_type == "norm":
-            chain.append(optax.clip_by_global_norm(float(grad_clip.get("max_norm", 1.0))))
+            clip = optax.clip_by_global_norm(float(grad_clip.get("max_norm", 1.0)))
         elif clip_type == "value":
-            chain.append(optax.clip(float(grad_clip.get("clip_value", 1.0))))
+            clip = optax.clip(float(grad_clip.get("clip_value", 1.0)))
+        else:
+            # same loud behavior as parallel/optree.make_shardmap_clip —
+            # a typo'd clip_type must not silently train unclipped
+            raise ValueError(f"unknown clip_type {clip_type!r}")
+        chain.append(optax.identity() if clip_in_step else clip)
     chain.append(optax.adam(schedule, b1=0.9, b2=0.999, eps=1e-8))
     return optax.chain(*chain)
