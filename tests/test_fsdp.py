@@ -132,18 +132,96 @@ def test_fsdp_trainer_path(tmp_path):
     )
 
 
-def test_fsdp_exclusive_with_other_strategies(tmp_path):
+def _set_model():
     from vae_song_tpu.models import SetVAE
 
-    model = SetVAE(latent_channel=8, num_points=16, d_model=16, num_heads=2,
-                   ff_dim=32, beta=0.1, num_encoder_layers=2,
-                   num_decoder_layers=1)
+    return SetVAE(latent_channel=8, num_points=16, d_model=16, num_heads=2,
+                  ff_dim=32, beta=0.1, num_encoder_layers=2,
+                  num_decoder_layers=1)
+
+
+def test_fsdp_exclusive_with_other_strategies(tmp_path):
     with pytest.raises(ValueError, match="exclusive"):
         train_and_test(
-            model, fsdp=True, tensor_parallel=2,
+            _set_model(), fsdp=True, pipeline_parallel=2,
             epochs=1, batch_size=16, dataset_name="shapenet",
             dataset_params={"fake": True, "num_samples": 32,
                             "num_points": 16},
             output_root=str(tmp_path), visualize_artifacts=False,
             progress=False,
         )
+
+
+def test_merge_tp_fsdp_specs():
+    from vae_song_tpu.parallel.fsdp import merge_tp_fsdp_specs
+
+    params = {
+        "qkv": jnp.zeros((16, 2, 8)),
+        "small": jnp.zeros((4,)),
+        "plain": jnp.zeros((32, 32)),
+    }
+    tp = {"qkv": P(None, "model", None), "small": P(), "plain": P()}
+    merged = merge_tp_fsdp_specs(params, tp, n_data=2, min_shard_elems=0)
+    # the TP axis is kept; the largest FREE axis gains 'data'
+    assert merged["qkv"] == P("data", "model", None)
+    assert merged["small"] == P("data")
+    assert merged["plain"] == P(None, "data")  # tie -> minor axis
+    # threshold: small leaves keep only their TP sharding
+    merged = merge_tp_fsdp_specs(params, tp, n_data=2,
+                                 min_shard_elems=2 ** 10)
+    assert merged["qkv"] == P(None, "model", None)
+    assert merged["small"] == P()
+
+
+def test_tp_fsdp_step_matches_single_device():
+    """2-D (data x model) weight sharding: one TPxFSDP step on a 2x2
+    mesh equals the single-device step (sgd(1.0) delta trick)."""
+    from vae_song_tpu.parallel.fsdp import (
+        make_tp_fsdp_train_step, shard_state_tp_fsdp,
+    )
+    from vae_song_tpu.parallel.mesh import make_mesh
+
+    model = _set_model()
+    x = np.random.default_rng(0).normal(size=(8, 16, 3)).astype(np.float32)
+    params, batch_stats = init_model(model, x[:2], seed=0)
+    tx = optax.sgd(1.0)
+    rng = jax.random.PRNGKey(3)
+
+    mesh = make_mesh(n_data=2, n_model=2)
+    state = shard_state_tp_fsdp(
+        TrainState.create(params, batch_stats, tx), mesh, min_shard_elems=0
+    )
+
+    copy = lambda t: jax.tree.map(lambda a: jnp.array(a), t)
+    ref_state = TrainState.create(copy(params), copy(batch_stats), tx)
+    ref_step = make_train_step(model, tx)
+    ref_new, ref_m = ref_step(ref_state, jnp.asarray(x), 0.1, rng)
+
+    step = make_tp_fsdp_train_step(model, tx, mesh, state,
+                                   min_shard_elems=0)
+    new, m = step(state, jnp.asarray(x), jnp.float32(0.1), rng)
+
+    np.testing.assert_allclose(float(m["loss"]), float(ref_m["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(ref_new.params),
+                    jax.tree.leaves(new.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_tp_fsdp_trainer_path(tmp_path):
+    state, summary = train_and_test(
+        _set_model(),
+        tensor_parallel=2,
+        fsdp=True,
+        epochs=2,
+        batch_size=16,
+        dataset_name="shapenet",
+        resultname="res_tpfsdp",
+        dataset_params={"fake": True, "num_samples": 32, "num_points": 16},
+        output_root=str(tmp_path),
+        visualize_artifacts=False,
+        progress=False,
+        seed=0,
+    )
+    assert np.isfinite(summary["eval"]["loss"])

@@ -30,7 +30,6 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from vae_song_tpu.parallel import optree
 from vae_song_tpu.train.state import TrainState
-from vae_song_tpu.train.steps import make_grads_fn
 
 # 16k elements = 64 KiB f32: below this, the per-use all-gather dispatch
 # outweighs the per-device memory saved
@@ -119,6 +118,96 @@ def sharded_fraction(state: TrainState, mesh: Mesh,
     return shd / max(tot, 1)
 
 
+def merge_tp_fsdp_specs(
+    params,
+    tp_specs,
+    n_data: int,
+    min_shard_elems: int = DEFAULT_MIN_SHARD_ELEMS,
+) -> Any:
+    """Compose Megatron TP specs (parallel/tp.py) with FSDP: each leaf
+    keeps its 'model'-axis sharding and additionally shards its largest
+    REMAINING axis over 'data' when large enough — the classic 2-D
+    weight layout (data x model) for scale-out training. Leaves the TP
+    rule replicated and the FSDP rule skipped stay replicated."""
+
+    def merge(p, tspec):
+        axes = list(tspec) + [None] * (p.ndim - len(tspec))
+        if int(np.prod(p.shape, dtype=np.int64)) < min_shard_elems:
+            return P(*axes) if any(a is not None for a in axes) else P()
+        free = [
+            (d, i) for i, d in enumerate(p.shape)
+            if axes[i] is None and d % n_data == 0
+        ]
+        if free:
+            _, i = max(free, key=lambda t: (t[0], t[1]))
+            axes[i] = "data"
+        return P(*axes)
+
+    return jax.tree.map(merge, params, tp_specs)
+
+
+def tp_fsdp_state_shardings(
+    state: TrainState,
+    mesh: Mesh,
+    min_shard_elems: int = DEFAULT_MIN_SHARD_ELEMS,
+):
+    """NamedSharding tree for a ('data', 'model') mesh: attention heads
+    / FFN columns on 'model' (parallel/tp.py structural rules) AND large
+    leaves' free axes + adam moments on 'data' (ZeRO)."""
+    from vae_song_tpu.parallel.tp import setvae_param_specs
+
+    merged = merge_tp_fsdp_specs(
+        state.params,
+        setvae_param_specs(state.params),
+        mesh.shape["data"],
+        min_shard_elems,
+    )
+    param_sh = jax.tree.map(lambda s: NamedSharding(mesh, s), merged)
+    repl = NamedSharding(mesh, P())
+    opt_sh = optree.map_param_subtrees(
+        state.opt_state,
+        jax.tree.structure(state.params),
+        lambda _subtree: param_sh,
+        lambda _leaf: repl,
+    )
+    return TrainState(
+        params=param_sh,
+        batch_stats=jax.tree.map(lambda _: repl, state.batch_stats),
+        opt_state=opt_sh,
+        step=repl,
+    )
+
+
+def shard_state_tp_fsdp(
+    state: TrainState,
+    mesh: Mesh,
+    min_shard_elems: int = DEFAULT_MIN_SHARD_ELEMS,
+) -> TrainState:
+    return jax.device_put(
+        state, tp_fsdp_state_shardings(state, mesh, min_shard_elems)
+    )
+
+
+def make_tp_fsdp_train_step(
+    model,
+    tx,
+    mesh: Mesh,
+    example_state: TrainState,
+    L: int = 1,
+    min_shard_elems: int = DEFAULT_MIN_SHARD_ELEMS,
+):
+    """jit train step on a ('data', 'model') mesh with 2-D-sharded
+    weights: batch on 'data', attention/FFN on 'model', everything
+    large also on 'data' with ZeRO'd adam moments."""
+    return optree.jit_gspmd_train_step(
+        model, tx,
+        tp_fsdp_state_shardings(example_state, mesh, min_shard_elems),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P()),
+        L=L,
+    )
+
+
 def make_fsdp_train_step(
     model,
     tx,
@@ -132,31 +221,10 @@ def make_fsdp_train_step(
     step math as train/steps.py:make_train_step — grad clip chained in
     tx computes the TRUE global norm (the grads are global arrays under
     GSPMD, not per-device slices)."""
-    grads_fn = make_grads_fn(model, L)
-    sh = state_shardings(example_state, mesh, min_shard_elems)
-    data_sh = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
-
-    def _step(state: TrainState, x, wu_alpha, rng):
-        grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
-            state.params, state.batch_stats, x, wu_alpha, rng
-        )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_state = state.replace(
-            params=new_params, batch_stats=new_bs,
-            opt_state=new_opt, step=state.step + 1,
-        )
-        metrics = {
-            "loss": total, "recon": rec, "reg": reg_s,
-            "lr": lr_s, "raw_kl": raw_kl,
-        }
-        return new_state, metrics
-
-    metrics_sh = {k: repl for k in ("loss", "recon", "reg", "lr", "raw_kl")}
-    return jax.jit(
-        _step,
-        in_shardings=(sh, data_sh, repl, repl),
-        out_shardings=(sh, metrics_sh),
-        donate_argnums=(0,),
+    return optree.jit_gspmd_train_step(
+        model, tx,
+        state_shardings(example_state, mesh, min_shard_elems),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P()),
+        L=L,
     )

@@ -63,6 +63,44 @@ def map_opt_params(opt_state, example_params, fn):
     )
 
 
+def jit_gspmd_train_step(model, tx, state_shardings, x_sharding, repl,
+                         L: int = 1):
+    """The shared GSPMD-style train step: plain single-device step math
+    (train/steps.py:make_grads_fn + tx.update) jitted with explicit
+    in/out shardings — XLA's SPMD partitioner inserts every collective.
+    Used by TP, FSDP, and TPxFSDP, which differ ONLY in the sharding
+    trees they pass; the optimizer (incl. a chained global-norm clip)
+    operates on global arrays, so its semantics are exactly the
+    single-device ones."""
+    from vae_song_tpu.train.steps import make_grads_fn
+
+    grads_fn = make_grads_fn(model, L)
+
+    def _step(state, x, wu_alpha, rng):
+        grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
+            state.params, state.batch_stats, x, wu_alpha, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params, batch_stats=new_bs,
+            opt_state=new_opt, step=state.step + 1,
+        )
+        metrics = {
+            "loss": total, "recon": rec, "reg": reg_s,
+            "lr": lr_s, "raw_kl": raw_kl,
+        }
+        return new_state, metrics
+
+    metrics_sh = {k: repl for k in ("loss", "recon", "reg", "lr", "raw_kl")}
+    return jax.jit(
+        _step,
+        in_shardings=(state_shardings, x_sharding, repl, repl),
+        out_shardings=(state_shardings, metrics_sh),
+        donate_argnums=(0,),
+    )
+
+
 def make_shardmap_clip(grad_clip, is_sharded_leaf, axis):
     """Gradient clip usable INSIDE shard_map when some grad leaves are
     axis-sharded (each device holds a distinct slice) and the rest are

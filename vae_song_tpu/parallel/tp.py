@@ -20,7 +20,6 @@ import jax
 from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 from vae_song_tpu.train.state import TrainState
-from vae_song_tpu.train.steps import make_grads_fn
 
 
 _ATTN_ROLES = ("query", "key", "value")
@@ -181,27 +180,12 @@ def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
                 "the model with use_flash=False for TP meshes (XLA "
                 "attention shards transparently)."
             )
-    grads_fn = make_grads_fn(model, L)
-    sh = state_shardings(example_state, mesh)
-    data_sh = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
+    from vae_song_tpu.parallel import optree
 
-    def _step(state: TrainState, x, wu_alpha, rng):
-        grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
-            state.params, state.batch_stats, x, wu_alpha, rng
-        )
-        updates, new_opt = tx.update(grads, state.opt_state, state.params)
-        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
-        new_state = state.replace(
-            params=new_params, batch_stats=new_bs,
-            opt_state=new_opt, step=state.step + 1,
-        )
-        return new_state, {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s, "raw_kl": raw_kl}
-
-    metrics_sh = {"loss": repl, "recon": repl, "reg": repl, "lr": repl, "raw_kl": repl}
-    return jax.jit(
-        _step,
-        in_shardings=(sh, data_sh, repl, repl),
-        out_shardings=(sh, metrics_sh),
-        donate_argnums=(0,),
+    return optree.jit_gspmd_train_step(
+        model, tx,
+        state_shardings(example_state, mesh),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P()),
+        L=L,
     )

@@ -146,8 +146,10 @@ def train_and_test(
     sharded over all devices AND large params + Adam moments sharded
     over the same axis (parallel/fsdp.py; XLA inserts the all-gather /
     reduce-scatter pattern). Subsumes data_parallel (which it
-    overrides), with exact global BatchNorm statistics. Config key
-    `fsdp` in model_params (cli/main.py).
+    overrides), with exact global BatchNorm statistics; composes with
+    tensor_parallel into 2-D (data x model) weight sharding on the
+    attention set models. Config key `fsdp` in model_params
+    (cli/main.py).
     """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
@@ -171,7 +173,6 @@ def train_and_test(
             ("expert_parallel", expert_parallel),
             ("tensor_parallel", tensor_parallel and tensor_parallel > 1),
             ("sequence_parallel", sequence_parallel and sequence_parallel > 1),
-            ("fsdp", fsdp),
         )
         if on
     ]
@@ -179,6 +180,11 @@ def train_and_test(
         raise ValueError(
             f"{' and '.join(active_strategies)} are exclusive (each owns "
             "the device mesh; compose with data_parallel instead)"
+        )
+    if fsdp and active_strategies and active_strategies != ["tensor_parallel"]:
+        raise ValueError(
+            f"fsdp and {active_strategies[0]} are exclusive (fsdp composes "
+            "only with tensor_parallel: 2-D data x model weight sharding)"
         )
 
     # PP/EP hold per-device-DIFFERENT grad slices inside shard_map, so a
@@ -397,13 +403,17 @@ def train_and_test(
                 "(Megatron-style head/FFN sharding, parallel/tp.py); "
                 f"got {type(model).__name__}"
             )
+        # fsdp shards weights over 'data', so it needs the axis to span
+        # the remaining devices even without data_parallel batch intent
         n_data = (
-            jax.device_count() // tensor_parallel if data_parallel else 1
+            jax.device_count() // tensor_parallel
+            if (data_parallel or fsdp) else 1
         )
-        if data_parallel and n_data < 2:
+        if (data_parallel or fsdp) and n_data < 2:
             raise ValueError(
-                f"data_parallel x tensor_parallel={tensor_parallel} needs "
-                f">= {2 * tensor_parallel} devices; have {jax.device_count()}"
+                f"{'fsdp' if fsdp else 'data_parallel'} x tensor_parallel="
+                f"{tensor_parallel} needs >= {2 * tensor_parallel} devices; "
+                f"have {jax.device_count()}"
             )
         if jax.device_count() < n_data * tensor_parallel:
             raise ValueError(
@@ -422,13 +432,28 @@ def train_and_test(
             )
         from jax.sharding import NamedSharding, PartitionSpec
         from vae_song_tpu.parallel.mesh import make_mesh
-        from vae_song_tpu.parallel.tp import make_tp_dp_train_step, shard_state
 
         tp_mesh = make_mesh(n_data, tensor_parallel)
-        state = shard_state(state, tp_mesh)
-        tp_step = make_tp_dp_train_step(
-            model, tx, tp_mesh, state, L=num_mc_samples
-        )
+        if fsdp:
+            # 2-D weight sharding: attention/FFN on 'model' AND large
+            # free axes + adam moments on 'data' (parallel/fsdp.py)
+            from vae_song_tpu.parallel.fsdp import (
+                make_tp_fsdp_train_step, shard_state_tp_fsdp,
+            )
+
+            state = shard_state_tp_fsdp(state, tp_mesh)
+            tp_step = make_tp_fsdp_train_step(
+                model, tx, tp_mesh, state, L=num_mc_samples
+            )
+        else:
+            from vae_song_tpu.parallel.tp import (
+                make_tp_dp_train_step, shard_state,
+            )
+
+            state = shard_state(state, tp_mesh)
+            tp_step = make_tp_dp_train_step(
+                model, tx, tp_mesh, state, L=num_mc_samples
+            )
         tp_x_sharding = NamedSharding(tp_mesh, PartitionSpec("data"))
 
         def train_step(state, x, wu, key):
