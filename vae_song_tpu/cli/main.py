@@ -75,6 +75,9 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             # model_params key: ZeRO-3-style batch + param + optimizer
             # sharding over all devices (parallel/fsdp.py)
             fsdp=bool(mp.get("fsdp", False)),
+            # common_params key: write periodic checkpoints on a worker
+            # thread (train/checkpoint.py:AsyncCheckpointer)
+            async_checkpoint=bool(common.get("async_checkpoint", False)),
         )
         results.append(summary)
     return results

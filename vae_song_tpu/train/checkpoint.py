@@ -6,8 +6,11 @@ saves and true mid-run resume, which the reference lacks
 
 import os
 import pickle
+import queue
+import threading
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
@@ -32,6 +35,60 @@ def load_checkpoint(path, template_state: TrainState):
         payload = pickle.load(f)
     state = serialization.from_bytes(template_state, payload["state"])
     return state, payload["epoch"], payload.get("extra", {})
+
+
+class AsyncCheckpointer:
+    """Overlap checkpoint I/O with training.
+
+    `submit()` snapshots the state with an ON-DEVICE copy (a
+    non-blocking dispatch — the caller's next train step donates its
+    state buffers, so the worker cannot read the live tree) and a
+    single worker thread performs the device→host fetch + serialize +
+    atomic write. On a relay-tunneled TPU the fetch drains at
+    ~30 MB/s, so a synchronous save stalls the step stream for seconds
+    per checkpoint; async, the fetch overlaps the already-enqueued
+    training dispatches.
+
+    Saves complete in submission order. `wait()` blocks until the
+    queue drains and re-raises the first worker error — call it before
+    reading the files, resuming from them, or exiting.
+    """
+
+    def __init__(self):
+        self._q: queue.Queue = queue.Queue()
+        self._err: list[BaseException] = []
+        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._worker.start()
+
+    def submit(self, path, state: TrainState, epoch: int = 0,
+               extra: dict | None = None) -> None:
+        if self._err:
+            raise self._err[0]
+        snap = jax.tree.map(jnp.copy, state)
+        self._q.put((path, snap, epoch, extra))
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                path, snap, epoch, extra = item
+                save_checkpoint(path, snap, epoch, extra=extra)
+            except BaseException as e:  # surfaced on wait()/submit()
+                self._err.append(e)
+            finally:
+                self._q.task_done()
+
+    def wait(self) -> None:
+        self._q.join()
+        if self._err:
+            raise self._err[0]
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._worker.join()
 
 
 def save_checkpoint_orbax(path, state: TrainState, epoch: int = 0):

@@ -106,6 +106,7 @@ def train_and_test(
     tensor_parallel: int = 0,
     sequence_parallel: int = 0,
     fsdp: bool = False,
+    async_checkpoint: bool = False,
 ):
     """Returns (state, summary dict).
 
@@ -150,6 +151,11 @@ def train_and_test(
     tensor_parallel into 2-D (data x model) weight sharding on the
     attention set models. Config key `fsdp` in model_params
     (cli/main.py).
+    async_checkpoint: write `checkpoint_every` snapshots on a worker
+    thread after an on-device copy (checkpoint.AsyncCheckpointer) so
+    the ~30 MB/s relay fetch overlaps training instead of stalling it;
+    all writes are joined before train_and_test returns. Config key
+    `async_checkpoint` in common_params (cli/main.py).
     """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
@@ -648,6 +654,10 @@ def train_and_test(
     t_start = time.time()
     eval_means = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
     last_eval_batch = None  # stays None when test set < one batch
+    async_ckpt = (
+        ckpt_lib.AsyncCheckpointer()
+        if async_checkpoint and checkpoint_every else None
+    )
 
     for epoch in range(start_epoch, epochs):
         if has_warmup:
@@ -800,10 +810,12 @@ def train_and_test(
             )
 
         if checkpoint_every and (epoch + 1) % checkpoint_every == 0:
-            ckpt_lib.save_checkpoint(
-                os.path.join(result_dir, "params", f"ckpt_{epoch}.pkl"), state, epoch,
-                extra={"wu_alpha": float(wu_alpha), "last_kl": float(last_kl)},
-            )
+            ckpt_path = os.path.join(result_dir, "params", f"ckpt_{epoch}.pkl")
+            ckpt_extra = {"wu_alpha": float(wu_alpha), "last_kl": float(last_kl)}
+            if async_ckpt is not None:
+                async_ckpt.submit(ckpt_path, state, epoch, extra=ckpt_extra)
+            else:
+                ckpt_lib.save_checkpoint(ckpt_path, state, epoch, extra=ckpt_extra)
 
         if last_epoch:
             ckpt_lib.save_params_only(
@@ -886,6 +898,11 @@ def train_and_test(
         },
         logfilename=logfilename,
     )
+
+    if async_ckpt is not None:
+        # join all in-flight checkpoint writes (and surface any worker
+        # error) before handing the result dir to the caller
+        async_ckpt.close()
 
     summary = dict(
         name=name,
