@@ -330,7 +330,37 @@ def measure_torch_baseline():
         return None
 
 
+def wait_for_backend():
+    """The tunneled TPU relay has transient outages (observed: hours).
+    A hung backend init cannot be timed out in-process, so probe it in
+    a SUBPROCESS and wait out short outages instead of recording a
+    bogus failure. Bounded by VST_BENCH_WAIT_TPU_S (default 30 min,
+    0 disables); on deadline the bench proceeds and fails with the
+    real error."""
+    import subprocess
+
+    deadline = time.time() + float(os.environ.get("VST_BENCH_WAIT_TPU_S", 1800))
+    probe = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
+             "assert float((x @ x).sum()) == 512.0")
+    while True:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe], timeout=300,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if r.returncode == 0:
+                return
+        except subprocess.TimeoutExpired:
+            pass
+        if time.time() >= deadline:
+            log("backend probe still failing at deadline; proceeding")
+            return
+        log("backend unavailable; retrying in 60s")
+        time.sleep(60)
+
+
 def main():
+    wait_for_backend()
     value, mfu = measure_tpu_throughput()
     setvae_ms, setvae_flops = measure_setvae_step()
     fast_ms, _partial = measure_setvae_step(mixed_precision=True,

@@ -466,8 +466,12 @@ def train_and_test(
             return tp_step(state, jax.device_put(x, tp_x_sharding), wu, key)
 
         # plain jitted eval: the params stay committed to their TP
-        # shardings, so GSPMD partitions the forward pass the same way
-        eval_step = make_eval_step(model)
+        # shardings, so GSPMD partitions the forward pass the same way;
+        # the batch shards over 'data' like in training
+        _tp_eval = make_eval_step(model)
+
+        def eval_step(state, x, wu, key):
+            return _tp_eval(state, jax.device_put(x, tp_x_sharding), wu, key)
     elif sequence_parallel and sequence_parallel > 1:
         if getattr(model, "data_type", None) != "set":
             raise ValueError(
@@ -531,8 +535,14 @@ def train_and_test(
             )
 
         # params stay committed to their FSDP shardings, so the plain
-        # jitted eval partitions the forward pass the same way
-        eval_step = make_eval_step(model)
+        # jitted eval partitions the forward pass the same way; the
+        # batch shards over 'data' like in training
+        _fsdp_eval = make_eval_step(model)
+
+        def eval_step(state, x, wu, key):
+            return _fsdp_eval(
+                state, jax.device_put(x, fsdp_x_sharding), wu, key
+            )
     elif data_parallel and jax.device_count() > 1:
         from vae_song_tpu.parallel import (
             make_mesh, replicate_state, make_dp_train_step, make_dp_eval_step,
