@@ -339,7 +339,10 @@ def wait_for_backend():
     real error."""
     import subprocess
 
-    deadline = time.time() + float(os.environ.get("VST_BENCH_WAIT_TPU_S", 1800))
+    budget = float(os.environ.get("VST_BENCH_WAIT_TPU_S", 1800))
+    if budget <= 0:
+        return
+    deadline = time.time() + budget
     probe = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
              "assert float((x @ x).sum()) == 512.0")
     while True:

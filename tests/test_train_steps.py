@@ -235,3 +235,50 @@ def test_multistep_set_model_equals_k_single_steps():
     for a, b in zip(jax.tree.leaves(s2.params), jax.tree.leaves(s3.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0.1, atol=1e-3)
     np.testing.assert_allclose(float(m2["raw_kl"]), float(m3["raw_kl"]), rtol=1e-4)
+
+
+def test_accum_step_equals_explicit_microbatch_mean():
+    """make_accum_train_step's lax.scan must reproduce the explicit
+    mean of per-microbatch gradients (sgd(1.0): params delta IS the
+    gradient) and the mean of per-microbatch metrics."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from vae_song_tpu.models import SetVAE
+    from vae_song_tpu.train.loop import init_model
+    from vae_song_tpu.train.state import TrainState
+    from vae_song_tpu.train.steps import make_accum_train_step, make_grads_fn
+
+    model = SetVAE(latent_channel=4, num_points=16, d_model=16, num_heads=2,
+                   ff_dim=32, beta=0.01)
+    N_MICRO, B = 4, 16
+    X = np.random.default_rng(3).normal(size=(B, 16, 3)).astype(np.float32)
+    params, bs = init_model(model, X[:4], seed=0)
+    tx = optax.sgd(1.0)
+    wu = jnp.float32(0.5)
+    rng = jax.random.PRNGKey(9)
+
+    grads_fn = jax.jit(make_grads_fn(model))
+    want = None
+    want_loss = 0.0
+    for c in range(N_MICRO):
+        xi = jnp.asarray(X[c * (B // N_MICRO):(c + 1) * (B // N_MICRO)])
+        g, (total, *_r) = grads_fn(params, bs, xi, wu, rng)
+        g = jax.tree.map(lambda a: a / N_MICRO, g)
+        want = g if want is None else jax.tree.map(jnp.add, want, g)
+        want_loss += float(total) / N_MICRO
+
+    state = TrainState.create(jax.tree.map(jnp.array, params),
+                              jax.tree.map(jnp.array, bs), tx)
+    step = make_accum_train_step(model, tx, N_MICRO)
+    new, m = step(state, jnp.asarray(X), wu, rng)
+
+    np.testing.assert_allclose(float(m["loss"]), want_loss, rtol=1e-5)
+    for p0, p1, g in zip(jax.tree.leaves(params), jax.tree.leaves(new.params),
+                         jax.tree.leaves(want)):
+        np.testing.assert_allclose(
+            np.asarray(p0) - np.asarray(p1), np.asarray(g),
+            rtol=1e-4, atol=1e-6,
+        )
+    assert int(new.step) == 1

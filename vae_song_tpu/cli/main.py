@@ -78,6 +78,9 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             # common_params key: write periodic checkpoints on a worker
             # thread (train/checkpoint.py:AsyncCheckpointer)
             async_checkpoint=bool(common.get("async_checkpoint", False)),
+            # common_params key: accumulate each optimizer step over N
+            # sequential microbatches (train/steps.py)
+            grad_accum=int(common.get("grad_accum", 0)),
         )
         results.append(summary)
     return results

@@ -94,12 +94,27 @@ def state_shardings(
     )
 
 
+def _place(state: TrainState, shardings) -> TrainState:
+    """device_put on one process; multi-process, host-local arrays
+    cannot be placed onto shardings spanning non-addressable devices —
+    assemble global arrays from the (identical, same-seed) local copies
+    instead (same pattern as mesh.replicate_state)."""
+    if jax.process_count() == 1:
+        return jax.device_put(state, shardings)
+
+    def put(leaf, sh):
+        a = np.asarray(leaf)
+        return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+    return jax.tree.map(put, state, shardings)
+
+
 def shard_state(
     state: TrainState,
     mesh: Mesh,
     min_shard_elems: int = DEFAULT_MIN_SHARD_ELEMS,
 ) -> TrainState:
-    return jax.device_put(state, state_shardings(state, mesh, min_shard_elems))
+    return _place(state, state_shardings(state, mesh, min_shard_elems))
 
 
 def sharded_fraction(state: TrainState, mesh: Mesh,
@@ -183,9 +198,7 @@ def shard_state_tp_fsdp(
     mesh: Mesh,
     min_shard_elems: int = DEFAULT_MIN_SHARD_ELEMS,
 ) -> TrainState:
-    return jax.device_put(
-        state, tp_fsdp_state_shardings(state, mesh, min_shard_elems)
-    )
+    return _place(state, tp_fsdp_state_shardings(state, mesh, min_shard_elems))
 
 
 def make_tp_fsdp_train_step(
@@ -199,6 +212,9 @@ def make_tp_fsdp_train_step(
     """jit train step on a ('data', 'model') mesh with 2-D-sharded
     weights: batch on 'data', attention/FFN on 'model', everything
     large also on 'data' with ZeRO'd adam moments."""
+    from vae_song_tpu.parallel.tp import check_flash_partitionable
+
+    check_flash_partitionable(model, mesh)
     return optree.jit_gspmd_train_step(
         model, tx,
         tp_fsdp_state_shardings(example_state, mesh, min_shard_elems),

@@ -149,10 +149,11 @@ def shard_state(state: TrainState, mesh: Mesh) -> TrainState:
     return jax.device_put(state, state_shardings(state, mesh))
 
 
-def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
-                          L: int = 1):
-    """jit train step with GSPMD: batch on 'data', attention/FFN params
-    on 'model'; XLA inserts the gradient/activation collectives."""
+def check_flash_partitionable(model, mesh: Mesh) -> None:
+    """Reject use_flash models whose attention would route to the tiled
+    flash Pallas kernel on a model-sharded TPU mesh — an opaque custom
+    call GSPMD cannot partition. Shared by every 'model'-axis step
+    builder (make_tp_dp_train_step, fsdp.make_tp_fsdp_train_step)."""
     if (
         mesh.shape.get("model", 1) > 1
         and getattr(model, "use_flash", False)
@@ -180,6 +181,13 @@ def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
                 "the model with use_flash=False for TP meshes (XLA "
                 "attention shards transparently)."
             )
+
+
+def make_tp_dp_train_step(model, tx, mesh: Mesh, example_state: TrainState,
+                          L: int = 1):
+    """jit train step with GSPMD: batch on 'data', attention/FFN params
+    on 'model'; XLA inserts the gradient/activation collectives."""
+    check_flash_partitionable(model, mesh)
     from vae_song_tpu.parallel import optree
 
     return optree.jit_gspmd_train_step(

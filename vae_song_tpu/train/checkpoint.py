@@ -86,9 +86,16 @@ class AsyncCheckpointer:
             raise self._err[0]
 
     def close(self) -> None:
-        self.wait()
+        """Drain the queue and stop the worker UNCONDITIONALLY (the
+        shutdown sentinel goes in before any error is re-raised, so a
+        failed write never leaks the thread); then surface the first
+        worker error. A crash that skips close() abandons queued writes
+        — the worker is a daemon thread."""
+        self._q.join()
         self._q.put(None)
         self._worker.join()
+        if self._err:
+            raise self._err[0]
 
 
 def save_checkpoint_orbax(path, state: TrainState, epoch: int = 0):

@@ -7,6 +7,7 @@ warmup-alpha update.
 """
 
 import os
+import sys
 import time
 from datetime import datetime
 
@@ -107,6 +108,7 @@ def train_and_test(
     sequence_parallel: int = 0,
     fsdp: bool = False,
     async_checkpoint: bool = False,
+    grad_accum: int = 0,
 ):
     """Returns (state, summary dict).
 
@@ -156,6 +158,10 @@ def train_and_test(
     the ~30 MB/s relay fetch overlaps training instead of stalling it;
     all writes are joined before train_and_test returns. Config key
     `async_checkpoint` in common_params (cli/main.py).
+    grad_accum: >= 2 accumulates each optimizer step over that many
+    sequential microbatches (steps.make_accum_train_step) — batch
+    sizes past one chip's activation HBM on the single-device path.
+    Config key `grad_accum` in common_params (cli/main.py).
     """
     dataset_params = dataset_params or {}
     train_ds, test_ds, augment = data_lib.load_dataset(dataset_name, **dataset_params)
@@ -191,6 +197,14 @@ def train_and_test(
         raise ValueError(
             f"fsdp and {active_strategies[0]} are exclusive (fsdp composes "
             "only with tensor_parallel: 2-D data x model weight sharding)"
+        )
+    if grad_accum and grad_accum > 1 and (
+        active_strategies or fsdp or data_parallel
+    ):
+        raise ValueError(
+            "grad_accum is the single-device microbatching path; it does "
+            "not compose with the parallel strategies (shard the batch "
+            "instead)"
         )
 
     # PP/EP hold per-device-DIFFERENT grad slices inside shard_map, so a
@@ -263,6 +277,7 @@ def train_and_test(
     use_scan = (
         not data_parallel
         and not fsdp
+        and not (grad_accum and grad_accum > 1)
         and augment is None
         and not _model_uses_conv(model)
         and getattr(model, "data_type", None) != "set"
@@ -560,7 +575,19 @@ def train_and_test(
         def eval_step(state, x, wu, key):
             return eval_step_dp(state, shard_batch(x, mesh), wu, key)
     else:
-        train_step = make_train_step(model, tx, L=num_mc_samples)
+        if grad_accum and grad_accum > 1:
+            if batch_size % grad_accum != 0:
+                raise ValueError(
+                    f"batch_size={batch_size} must divide over "
+                    f"grad_accum={grad_accum} microbatches"
+                )
+            from vae_song_tpu.train.steps import make_accum_train_step
+
+            train_step = make_accum_train_step(
+                model, tx, grad_accum, L=num_mc_samples
+            )
+        else:
+            train_step = make_train_step(model, tx, L=num_mc_samples)
         eval_step = make_eval_step(model)
 
     # multi-step dispatch path: conv/augmented models whose dataset fits
@@ -577,6 +604,7 @@ def train_and_test(
         and not tensor_parallel
         and not sequence_parallel
         and not fsdp
+        and not (grad_accum and grad_accum > 1)
         and not use_scan
         and train_ds.X.nbytes < 512 * 1024 * 1024
         # an explicit native_prefetch request keeps the C++ loader path;
@@ -755,12 +783,13 @@ def train_and_test(
             nb = steps_per_epoch
             last_batch_raw_kl = float(ms_host[-1]["raw_kl"])
         if profiling_this_epoch:
-            # under PP the train work lives in pp_box, not state —
-            # block on it so the trace captures the queued steps
-            if pp_sync is not None:
-                jax.block_until_ready(pp_box["params"])
-            else:
-                jax.block_until_ready(state.step)
+            # every path above just device_get'd the LAST step's metric
+            # scalars, which forces the whole step stream (PP included —
+            # its metrics come out of the same pipelined program) to
+            # completion before the trace closes. That scalar fetch is
+            # the reliable chain-closer on this backend —
+            # jax.block_until_ready returns early on chained work here
+            # (CLAUDE.md).
             prof_ctx.__exit__(None, None, None)
         writer.add_scalar("loss/train", tot["loss"] / nb, epoch)
         writer.add_scalar("recon/train", tot["recon"] / nb, epoch)
@@ -910,9 +939,17 @@ def train_and_test(
     )
 
     if async_ckpt is not None:
-        # join all in-flight checkpoint writes (and surface any worker
-        # error) before handing the result dir to the caller
-        async_ckpt.close()
+        # join all in-flight checkpoint writes before handing the
+        # result dir to the caller. A failed WRITE must not discard the
+        # fully-trained state the caller is owed — warn loudly instead
+        try:
+            async_ckpt.close()
+        except Exception as e:
+            print(
+                f"[{name}] WARNING: async checkpoint write failed: {e!r} "
+                "(training completed; the periodic snapshot is missing)",
+                file=sys.stderr, flush=True,
+            )
 
     summary = dict(
         name=name,

@@ -44,6 +44,10 @@ def make_optimizer(
     with optax.identity() so the opt_state PYTREE STRUCTURE is identical
     to the chained-clip optimizer: checkpoints stay portable between
     single-device/DP runs and PP/EP runs of the same config.
+    (Compat note: PP/EP + grad_clip checkpoints written BEFORE this
+    placeholder existed lack the slot and no longer deserialize; no
+    such checkpoints were shipped — resume them with the commit that
+    wrote them if ever needed.)
     """
     if total_steps is not None:
         schedule = optax.cosine_decay_schedule(lr, total_steps)

@@ -135,6 +135,65 @@ def make_train_step(model, tx, L: int = 1, grad_mode: str | None = None) -> Call
     return train_step
 
 
+def make_accum_train_step(model, tx, n_micro: int, L: int = 1,
+                          grad_mode: str | None = None) -> Callable:
+    """Gradient accumulation: one optimizer step from `n_micro`
+    sequential microbatches — train at batch sizes whose activations
+    exceed HBM without touching the learning-rate recipe. The reference
+    has no equivalent (greenfield, like the parallel layer).
+
+    TPU-idiomatic: a `lax.scan` over the [n_micro, B/n_micro, ...]
+    reshaped batch accumulates the MEAN of per-microbatch gradients in
+    one XLA program, with activations alive for one microbatch at a
+    time. Gradient convention matches the DP shard mean
+    (parallel/mesh.py): exactly the full-batch gradient for batch-MEAN
+    loss terms, and for the reference's batch-SUMMED latent-recon term
+    it equals DP-with-n_micro-shards (the sum rescaled by 1/n_micro) —
+    the same quirk DP training carries. BatchNorm stats update
+    sequentially per microbatch (torch grad-accum semantics).
+
+    step(state, x, wu_alpha, rng) -> (state, metrics); x's leading axis
+    must divide by n_micro. Microbatches share `rng`; the latent eps
+    draws are shaped per-microbatch, so the step equals the full-batch
+    step in distribution (i.i.d. sampling), and equals the explicit
+    mean-of-microbatch-gradients EXACTLY (tests/test_train_steps.py).
+    """
+    grads_fn = make_grads_fn(model, L, grad_mode)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, x, wu_alpha, rng):
+        xm = x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
+
+        def body(carry, xi):
+            g_acc, bs, m_acc = carry
+            grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
+                state.params, bs, xi, wu_alpha, rng
+            )
+            g_acc = jax.tree.map(
+                lambda a, g: a + g / n_micro, g_acc, grads
+            )
+            m = jnp.stack([total, rec, reg_s, lr_s, raw_kl])
+            return (g_acc, new_bs, m_acc + m / n_micro), None
+
+        g0 = jax.tree.map(jnp.zeros_like, state.params)
+        (grads, new_bs, m), _ = jax.lax.scan(
+            body, (g0, state.batch_stats, jnp.zeros(5, jnp.float32)), xm
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
+        new_state = state.replace(
+            params=new_params,
+            batch_stats=new_bs,
+            opt_state=new_opt_state,
+            step=state.step + 1,
+        )
+        metrics = {"loss": m[0], "recon": m[1], "reg": m[2], "lr": m[3],
+                   "raw_kl": m[4]}
+        return new_state, metrics
+
+    return train_step
+
+
 def pick_multistep_k(steps_per_epoch: int, is_set: bool) -> int:
     """The K the trainer uses for the multi-step dispatch path: the
     largest divisor of steps_per_epoch within the cap. Shared by
