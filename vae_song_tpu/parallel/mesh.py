@@ -42,9 +42,12 @@ def init_multihost(coordinator_address: str | None = None,
     over DCN. Per-process file outputs (loggers, checkpoints, artifact
     dumps) are the caller's responsibility to gate on
     `jax.process_index() == 0`; `train_and_test` does this for its own
-    writers. Validated single-process only (no pod on this box) —
-    the array-assembly paths follow the documented JAX multi-process
-    API (make_array_from_process_local_data / make_array_from_callback).
+    writers. Validated with a real 2-process jax.distributed CPU
+    cluster — the replicate_state make_array_from_callback branch, the
+    shard_batch make_array_from_process_local_data branch, and a full
+    DP train step whose loss equals the single-process mesh's
+    (tests/test_multihost.py); no TPU pod on this box, so DCN routing
+    itself is untested.
 
     The reference has no multi-host story at all (SURVEY.md §2.5 — its
     sweep scripts run independent processes, which `parallel/sweep.py`
