@@ -173,3 +173,40 @@ def test_pipeline_parallel_resume_matches_continuous(tmp_path):
             np.asarray(c), np.asarray(r), rtol=1e-6, atol=1e-7,
             err_msg=f"resume mismatch at {jax.tree_util.keystr(path)}",
         )
+
+
+def test_fsdp_checkpoint_portable_to_single_device(tmp_path):
+    """A checkpoint written under FSDP (state sharded at save time —
+    serialization device_gets the global arrays) must resume on the
+    plain single-device path, and vice-versa-style strategies per
+    test_checkpoint_portable_across_strategies."""
+    from vae_song_tpu.models import SetVAE
+
+    def _set_model():
+        return SetVAE(latent_channel=8, num_points=16, d_model=16,
+                      num_heads=2, ff_dim=32, beta=0.1,
+                      num_encoder_layers=2, num_decoder_layers=1)
+
+    common = dict(
+        epochs=2,
+        batch_size=16,
+        dataset_name="shapenet",
+        resultname="res_xs",
+        dataset_params={"fake": True, "num_samples": 32, "num_points": 16},
+        visualize_artifacts=False,
+        progress=False,
+        seed=0,
+    )
+    train_and_test(_set_model(), fsdp=True, checkpoint_every=2,
+                   output_root=str(tmp_path / "a"), **common)
+    ckpts = []
+    for root, _d, files in os.walk(str(tmp_path / "a")):
+        ckpts += [os.path.join(root, f) for f in files if f.startswith("ckpt_")]
+    assert ckpts
+    state, summary = train_and_test(
+        _set_model(), resume_from=sorted(ckpts)[0],
+        output_root=str(tmp_path / "b"), epochs=3,
+        **{k: v for k, v in common.items() if k != "epochs"},
+    )
+    assert np.isfinite(summary["eval"]["loss"])
+    assert int(state.step) == 3 * 2  # 2 steps/epoch x 3 epochs
