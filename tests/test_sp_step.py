@@ -145,3 +145,131 @@ def test_sp_guards():
         bad = SetVAE(latent_channel=4, num_points=30, d_model=16,
                      num_heads=2, ff_dim=32)
         make_sp_train_step(bad, tx, mesh)
+
+
+def test_ring_attention_matches_full_attention():
+    """ring_attention's online-softmax over rotating k/v chunks must
+    equal full (unsharded) softmax attention exactly in f32."""
+    from vae_song_tpu.ops.attention import ring_attention
+
+    B, N, H, D = 2, 64, 2, 8
+    n_seq = 8
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    v = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    # full softmax attention reference
+    s = np.einsum("bqhd,bkhd->bhqk", q, k) * scale
+    w = np.exp(s - s.max(-1, keepdims=True))
+    w = w / w.sum(-1, keepdims=True)
+    want = np.einsum("bhqk,bkhd->bqhd", w, v)
+
+    mesh = make_sp_mesh(n_data=1, n_seq=n_seq)
+
+    def per_device(qc, kc, vc):
+        return ring_attention(qc, kc, vc, scale, SEQ_AXIS,
+                              compute_dtype=jnp.float32)
+
+    got = jax.jit(
+        jax.shard_map(
+            per_device, mesh=mesh,
+            in_specs=(P(None, SEQ_AXIS), P(None, SEQ_AXIS), P(None, SEQ_AXIS)),
+            out_specs=P(None, SEQ_AXIS), check_vma=False,
+        )
+    )(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cls", [SetVAE, SetLRVAE])
+def test_sp_ring_step_matches_allgather_step(cls):
+    """The ring SP step must train identically to the all-gather SP
+    step (same mesh, same keys): the attention math is the same, only
+    the collective schedule differs. bf16-tolerance like the
+    single-device comparison above."""
+    import optax
+
+    model = _tiny_model(cls)
+    x = _clouds()
+    tx = optax.sgd(1.0)
+    rng0 = jax.random.PRNGKey(7)
+    mesh = make_sp_mesh(n_data=1, n_seq=8)
+
+    def run(ring):
+        params, bs = init_model(model, x[:2], seed=0)
+        state = jax.device_put(
+            TrainState.create(params, bs, tx),
+            jax.sharding.NamedSharding(mesh, P()),
+        )
+        step = make_sp_train_step(model, tx, mesh, ring=ring)
+        st, m = step(state, shard_points(jnp.asarray(x), mesh),
+                     jnp.float32(1.0), rng0)
+        return jax.device_get(st.params), jax.device_get(m)
+
+    p_ag, m_ag = run(ring=False)
+    p_ring, m_ring = run(ring=True)
+    for key in ("loss", "recon", "reg", "lr"):
+        np.testing.assert_allclose(
+            float(m_ring[key]), float(m_ag[key]), rtol=2e-3, atol=1e-5
+        )
+    # ring computes the softmax CHUNKED (per-hop bf16 p / pv matmuls +
+    # online rescale) vs the all-gather's whole-row pass, so bf16
+    # rounding differs between the two — and near-tie chamfer argmin
+    # picks can flip DISCRETELY on that noise (the known bf16 chamfer
+    # effect, ops/chamfer.py), legitimately moving a few gradient
+    # elements. Bound the tail instead of every element; algorithmic
+    # exactness (fwd AND bwd, 4e-7) is pinned in f32 by the two ring
+    # tests above/below.
+    total = bad = 0
+    for a, b in zip(jax.tree.leaves(p_ag), jax.tree.leaves(p_ring)):
+        a, b = np.asarray(a), np.asarray(b)
+        viol = np.abs(b - a) > (1.5e-2 + 3e-2 * np.abs(a))
+        total += a.size
+        bad += int(viol.sum())
+    assert bad <= max(2, total // 1000), (bad, total)
+
+
+def test_ring_attention_gradients_match_full_attention():
+    """Backward through the scan + ppermute ring must reproduce the
+    full-attention q/k/v gradients exactly in f32 (the ppermute
+    transpose is the inverse rotation; the online-softmax recurrence
+    is algebraically the softmax)."""
+    from vae_song_tpu.ops.attention import ring_attention
+
+    B, N, H, D = 2, 64, 2, 8
+    rng = np.random.default_rng(5)
+    q = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    k = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    v = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    ct = rng.normal(size=(B, N, H, D)).astype(np.float32)
+    scale = 1.0 / np.sqrt(D)
+
+    def full_loss(q, k, v):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q, k) * scale
+        w = jax.nn.softmax(s, axis=-1)
+        return (jnp.einsum("bhqk,bkhd->bqhd", w, v) * ct).sum()
+
+    g_full = jax.grad(full_loss, argnums=(0, 1, 2))(q, k, v)
+
+    mesh = make_sp_mesh(1, 8)
+
+    def ring_loss(q, k, v):
+        def per(qc, kc, vc, cc):
+            out = ring_attention(qc, kc, vc, scale, SEQ_AXIS,
+                                 compute_dtype=jnp.float32)
+            return jax.lax.psum((out * cc).sum(), SEQ_AXIS)
+
+        f = jax.shard_map(
+            per, mesh=mesh,
+            in_specs=(P(None, SEQ_AXIS),) * 4,
+            out_specs=P(), check_vma=False,
+        )
+        return f(q, k, v, ct)
+
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for a, b in zip(g_full, g_ring):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)

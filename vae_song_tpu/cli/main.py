@@ -72,6 +72,9 @@ def run_experiment(config_path: str, output_root: str = ".", seed: int = 42,
             # model_params key: shard the point/sequence axis over N
             # devices (k/v all-gather attention, parallel/sp.py)
             sequence_parallel=int(mp.get("sequence_parallel", 0)),
+            # model_params key: SP attention as a ppermute ring with
+            # online softmax instead of the k/v all-gather
+            sequence_parallel_ring=bool(mp.get("sequence_parallel_ring", False)),
             # model_params key: ZeRO-3-style batch + param + optimizer
             # sharding over all devices (parallel/fsdp.py)
             fsdp=bool(mp.get("fsdp", False)),

@@ -40,6 +40,7 @@ class TransformerEncoderLayer(nn.Module):
     compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
     use_flash: bool = False
     seq_axis: str | None = None  # sequence-parallel self-attention
+    seq_ring: bool = False  # SP attention via ring ppermute (ops/attention.py)
     moe_experts: int = 0  # >0: MoE FFN instead of the dense two-layer FFN
     moe_capacity_factor: float = 1.25
     ep_axis: str | None = None  # expert-parallel mesh axis (parallel/ep.py)
@@ -52,6 +53,7 @@ class TransformerEncoderLayer(nn.Module):
             num_heads=self.num_heads, d_model=self.d_model,
             dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
             use_flash=self.use_flash, seq_axis=self.seq_axis,
+            seq_ring=self.seq_ring,
         )(x, x, train)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=det)
         # LN dtype: under mixed precision the whole activation stream
@@ -94,6 +96,7 @@ class TransformerDecoderLayer(nn.Module):
     compute_dtype: object = None  # bf16 compute, f32 params/LayerNorm
     use_flash: bool = False
     seq_axis: str | None = None  # sequence-parallel SELF-attention only:
+    seq_ring: bool = False
     # cross-attention's kv is the replicated length-1 memory token
     moe_experts: int = 0  # >0: MoE FFN instead of the dense two-layer FFN
     moe_capacity_factor: float = 1.25
@@ -105,6 +108,7 @@ class TransformerDecoderLayer(nn.Module):
             num_heads=self.num_heads, d_model=self.d_model,
             dropout_rate=self.dropout_rate, compute_dtype=self.compute_dtype,
             use_flash=self.use_flash, seq_axis=self.seq_axis,
+            seq_ring=self.seq_ring,
         )
         self.cross_attn = MultiHeadAttention(
             num_heads=self.num_heads, d_model=self.d_model,
@@ -187,6 +191,7 @@ class SetEncoderAttn(nn.Module):
     compute_dtype: object = None
     use_flash: bool = False
     seq_axis: str | None = None
+    seq_ring: bool = False
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
     ep_axis: str | None = None
@@ -209,7 +214,8 @@ class SetEncoderAttn(nn.Module):
             x = layer_cls(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
-                seq_axis=self.seq_axis, moe_experts=self.moe_experts,
+                seq_axis=self.seq_axis, seq_ring=self.seq_ring,
+                moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,
                 moe_local_experts=self.moe_local_experts,
@@ -267,6 +273,7 @@ class SetDecoderAttn(nn.Module):
     compute_dtype: object = None
     use_flash: bool = False
     seq_axis: str | None = None
+    seq_ring: bool = False
     moe_experts: int = 0
     moe_capacity_factor: float = 1.25
     ep_axis: str | None = None
@@ -302,7 +309,8 @@ class SetDecoderAttn(nn.Module):
             layer_cls(
                 self.d_model, self.num_heads, self.ff_dim, self.dropout_rate,
                 compute_dtype=self.compute_dtype, use_flash=self.use_flash,
-                seq_axis=self.seq_axis, moe_experts=self.moe_experts,
+                seq_axis=self.seq_axis, seq_ring=self.seq_ring,
+                moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,
                 moe_local_experts=self.moe_local_experts,
@@ -367,6 +375,7 @@ class SetVAE(nn.Module):
     # sharded Chamfer. Attention models only (DeepSets BN stats would
     # need cross-shard sync).
     seq_axis: str | None = None
+    seq_ring: bool = False
     # moe_experts: >0 swaps every transformer FFN for a Switch-style
     # top-1 MoE (nn/moe.py). Single-device the experts evaluate locally;
     # under expert parallelism (parallel/ep.py:make_setvae_ep_train_step)
@@ -409,6 +418,7 @@ class SetVAE(nn.Module):
                 compute_dtype=cdt,
                 use_flash=self.use_flash,
                 seq_axis=self.seq_axis,
+                seq_ring=self.seq_ring,
                 moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,
@@ -426,6 +436,7 @@ class SetVAE(nn.Module):
                 compute_dtype=cdt,
                 use_flash=self.use_flash,
                 seq_axis=self.seq_axis,
+                seq_ring=self.seq_ring,
                 moe_experts=self.moe_experts,
                 moe_capacity_factor=self.moe_capacity_factor,
                 ep_axis=self.ep_axis,

@@ -149,6 +149,64 @@ def sequence_sharded_attention(q, k, v, scale, axis_name: str,
     return _xla_attention(q, k_full, v_full, scale, compute_dtype)
 
 
+def ring_attention(q, k, v, scale, axis_name: str,
+                   compute_dtype=jnp.bfloat16):
+    """Sequence-parallel self-attention, RING variant.
+
+    Instead of all-gathering the full k/v onto every device
+    (sequence_sharded_attention — O(N) k/v bytes and [N/p, N] scores
+    per device), the k/v CHUNKS rotate around the ICI ring via
+    `ppermute` while each device folds them into an online-softmax
+    accumulator (the flash recurrence): peak per-device attention
+    memory is O(N/p x N/p) scores + one rotating chunk, so the point
+    axis scales to clouds where even one full k/v copy won't fit.
+    Each hop is nearest-neighbour ICI traffic that overlaps with the
+    chunk's matmuls. Exact up to fp summation order — the recurrence
+    rescales by exp(m_old - m_new) with the true running row max
+    (same invariant the dense kernel keeps, ops/denseattn.py).
+
+    Gradients flow through `lax.scan` + `ppermute` (its transpose is
+    the inverse rotation). SURVEY.md §2.5 names ring attention as the
+    idiomatic long-context design; tests/test_sp_step.py checks
+    exactness against full attention and the all-gather variant.
+    """
+    n_shards = jax.lax.axis_size(axis_name)
+    b, n_q, h, d = q.shape
+    qc = q.astype(compute_dtype)
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    m0 = jnp.full((b, h, n_q), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((b, h, n_q), jnp.float32)
+    acc0 = jnp.zeros((b, n_q, h, d), jnp.float32)
+
+    def body(carry, _):
+        m, l, acc, kc, vc = carry
+        s = jnp.einsum(
+            "bqhd,bkhd->bhqk", qc, kc.astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        alpha = jnp.exp(m - m_new)            # [B, H, Nq]; exp(-inf)=0 first pass
+        p = jnp.exp(s - m_new[..., None])
+        l_new = l * alpha + p.sum(axis=-1)
+        pv = jnp.einsum(
+            "bhqk,bkhd->bqhd", p.astype(compute_dtype),
+            vc.astype(compute_dtype), preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * alpha.transpose(0, 2, 1)[..., None] + pv
+        # rotate the k/v chunks one ICI hop (the final rotation returns
+        # them to their origin, keeping the scan carry shape-stable)
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        return (m_new, l_new, acc_new, kc, vc), None
+
+    (m, l, acc, _k, _v), _ = jax.lax.scan(
+        body, (m0, l0, acc0, k, v), None, length=n_shards
+    )
+    out = acc / l.transpose(0, 2, 1)[..., None]
+    return out.astype(q.dtype)
+
+
 class MultiHeadAttention(nn.Module):
     """torch-style MHA: q/k/v/out projections + scaled dot-product.
 
@@ -191,6 +249,9 @@ class MultiHeadAttention(nn.Module):
     # over ICI inside shard_map (sequence_sharded_attention). Only set by
     # SELF-attention call sites — cross-attention to the replicated
     # length-1 latent memory token needs no collective.
+    seq_ring: bool = False  # with seq_axis: rotate k/v chunks around the
+    # ICI ring + online softmax (ring_attention) instead of all-gather —
+    # O(N/p) peak kv memory for clouds where one full k/v copy won't fit
 
     @nn.compact
     def __call__(self, inputs_q, inputs_kv, train: bool = False):
@@ -253,7 +314,8 @@ class MultiHeadAttention(nn.Module):
                     "attention-weight dropout is not supported under "
                     "sequence parallelism (seq_axis)"
                 )
-            out = sequence_sharded_attention(
+            sp_attn = ring_attention if self.seq_ring else sequence_sharded_attention
+            out = sp_attn(
                 q, k, v, scale, self.seq_axis,
                 compute_dtype=self.compute_dtype or jnp.bfloat16,
             )

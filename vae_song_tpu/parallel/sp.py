@@ -73,14 +73,18 @@ def _validate(model, mesh: Mesh) -> None:
         )
 
 
-def make_sp_train_step(model, tx, mesh: Mesh, L: int = 1) -> Callable:
+def make_sp_train_step(model, tx, mesh: Mesh, L: int = 1,
+                       ring: bool = False) -> Callable:
     """DP x SP train step on a ('data', 'seq') mesh.
 
     step(state, x_sharded, wu_alpha, rng) -> (state, metrics)
     `x` sharded P('data', 'seq') via shard_points; state replicated.
+    ring=True swaps the all-gather k/v attention for the ppermute ring
+    with online softmax (ops/attention.py:ring_attention) — O(N/p)
+    peak kv memory for clouds where one full copy won't fit.
     """
     _validate(model, mesh)
-    sp_model = model.clone(seq_axis=SEQ_AXIS)
+    sp_model = model.clone(seq_axis=SEQ_AXIS, seq_ring=ring)
     grads_fn = make_grads_fn(sp_model, L)
 
     def per_device(state: TrainState, x, wu_alpha, rng):
@@ -117,10 +121,11 @@ def make_sp_train_step(model, tx, mesh: Mesh, L: int = 1) -> Callable:
     return jax.jit(sharded, donate_argnums=(0,))
 
 
-def make_sp_eval_step(model, mesh: Mesh, L: int = 1) -> Callable:
+def make_sp_eval_step(model, mesh: Mesh, L: int = 1,
+                      ring: bool = False) -> Callable:
     """DP x SP eval step (no param mutation)."""
     _validate(model, mesh)
-    sp_model = model.clone(seq_axis=SEQ_AXIS)
+    sp_model = model.clone(seq_axis=SEQ_AXIS, seq_ring=ring)
 
     def per_device(state: TrainState, x, wu_alpha, rng):
         rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))

@@ -106,6 +106,7 @@ def train_and_test(
     expert_parallel: bool = False,
     tensor_parallel: int = 0,
     sequence_parallel: int = 0,
+    sequence_parallel_ring: bool = False,
     fsdp: bool = False,
     async_checkpoint: bool = False,
     grad_accum: int = 0,
@@ -144,7 +145,9 @@ def train_and_test(
     attention, pmax pooling, per-shard Chamfer — the scaling path for
     clouds larger than one chip's HBM. Composes with data_parallel on
     a ('data', 'seq') mesh. Config key `sequence_parallel` in
-    model_params (cli/main.py).
+    model_params (cli/main.py). sequence_parallel_ring=True swaps the
+    all-gather k/v for the ppermute ring with online softmax
+    (ops/attention.py:ring_attention; key `sequence_parallel_ring`).
     fsdp: ZeRO-3-style data parallelism for ANY model family — batch
     sharded over all devices AND large params + Adam moments sharded
     over the same axis (parallel/fsdp.py; XLA inserts the all-gather /
@@ -517,8 +520,12 @@ def train_and_test(
                 "data-parallel shards"
             )
         sp_mesh = make_sp_mesh(n_data, sequence_parallel)
-        sp_train = make_sp_train_step(model, tx, sp_mesh, L=num_mc_samples)
-        sp_eval = make_sp_eval_step(model, sp_mesh, L=num_mc_samples)
+        sp_train = make_sp_train_step(
+            model, tx, sp_mesh, L=num_mc_samples, ring=sequence_parallel_ring
+        )
+        sp_eval = make_sp_eval_step(
+            model, sp_mesh, L=num_mc_samples, ring=sequence_parallel_ring
+        )
 
         def train_step(state, x, wu, key):
             return sp_train(state, shard_points(x, sp_mesh), wu, key)
