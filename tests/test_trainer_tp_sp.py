@@ -110,3 +110,31 @@ def test_tensor_parallel_rejects_non_attention_models(tmp_path):
             **_common(tmp_path, dataset_name="pinwheel",
                       dataset_params={"num_samples": 64}),
         )
+
+
+def test_grad_accum_trainer_path(tmp_path):
+    """grad_accum drives the single-device loop (multistep/scan paths
+    gated off); 16-batch over 4 microbatches trains to finite loss."""
+    state, summary = train_and_test(
+        _set_model(), grad_accum=4, **_common(tmp_path)
+    )
+    assert np.isfinite(summary["eval"]["loss"])
+    assert int(state.step) == 2 * 2  # 2 steps/epoch x 2 epochs
+
+
+def test_grad_accum_rejects_parallel_strategies(tmp_path):
+    with pytest.raises(ValueError, match="single-device"):
+        train_and_test(
+            _set_model(), grad_accum=2, data_parallel=True,
+            **_common(tmp_path),
+        )
+
+
+def test_sp_ring_trainer_path(tmp_path):
+    """sequence_parallel_ring drives the ring-attention SP step through
+    the full trainer."""
+    state, summary = train_and_test(
+        _set_model(), sequence_parallel=2, sequence_parallel_ring=True,
+        **_common(tmp_path),
+    )
+    assert np.isfinite(summary["eval"]["loss"])
