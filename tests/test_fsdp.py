@@ -232,8 +232,6 @@ def test_fsdp_program_contains_zero3_collectives():
     params gathered ON USE (all-gather in the program) and gradients
     reduced across shards (reduce-scatter, which the CPU backend lowers
     as all-reduce) — not silently replicated state."""
-    import optax
-
     model = VanillaVAE.for_dataset(
         "mnist", hidden_channels=(128,), encoder_type="mlp",
         decoder_type="mlp", beta=0.01,

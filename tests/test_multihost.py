@@ -47,10 +47,19 @@ def test_two_process_dp_matches_single_process():
         for pid in (0, 1)
     ]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=480)
-        outs.append(out)
-        assert p.returncode == 0, f"worker failed:\n{out}"
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=480)
+            outs.append(out)
+            assert p.returncode == 0, f"worker failed:\n{out}"
+    finally:
+        # if one worker failed or timed out, the OTHER is still blocked in
+        # jax.distributed.initialize waiting for its peer — never leave it
+        # pinning this 1-vCPU box for the rest of the suite
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     losses = []
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("MH_LOSS")]

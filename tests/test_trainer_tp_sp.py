@@ -138,3 +138,13 @@ def test_sp_ring_trainer_path(tmp_path):
         **_common(tmp_path),
     )
     assert np.isfinite(summary["eval"]["loss"])
+
+
+def test_sp_ring_requires_sequence_parallel(tmp_path):
+    """ring is a variant OF sequence parallelism — asking for it without
+    sequence_parallel >= 2 must refuse loudly, not silently train the
+    plain dense-attention path."""
+    with pytest.raises(ValueError, match="sequence_parallel_ring"):
+        train_and_test(
+            _set_model(), sequence_parallel_ring=True, **_common(tmp_path)
+        )

@@ -157,13 +157,18 @@ def ring_attention(q, k, v, scale, axis_name: str,
     (sequence_sharded_attention — O(N) k/v bytes and [N/p, N] scores
     per device), the k/v CHUNKS rotate around the ICI ring via
     `ppermute` while each device folds them into an online-softmax
-    accumulator (the flash recurrence): peak per-device attention
-    memory is O(N/p x N/p) scores + one rotating chunk, so the point
-    axis scales to clouds where even one full k/v copy won't fit.
-    Each hop is nearest-neighbour ICI traffic that overlaps with the
-    chunk's matmuls. Exact up to fp summation order — the recurrence
-    rescales by exp(m_old - m_new) with the true running row max
-    (same invariant the dense kernel keeps, ops/denseattn.py).
+    accumulator (the flash recurrence). The scan body is remat'd
+    (`jax.checkpoint`), so the backward recomputes each hop's
+    [N/p, N/p] score/prob block instead of stashing all p of them —
+    the O(N/p x N) score residual that dominates the all-gather
+    variant's training memory never materializes. What reverse-mode
+    scan does store is the per-hop k/v carries (in aggregate ≈ 2 full
+    k/v copies — tiny next to scores: k/v is N·H·D vs N²·H for the
+    score stack). Each hop is nearest-neighbour ICI traffic that
+    overlaps with the chunk's matmuls. Exact up to fp summation order
+    — the recurrence rescales by exp(m_old - m_new) with the true
+    running row max (same invariant the dense kernel keeps,
+    ops/denseattn.py).
 
     Gradients flow through `lax.scan` + `ppermute` (its transpose is
     the inverse rotation). SURVEY.md §2.5 names ring attention as the
@@ -179,8 +184,7 @@ def ring_attention(q, k, v, scale, axis_name: str,
     l0 = jnp.zeros((b, h, n_q), jnp.float32)
     acc0 = jnp.zeros((b, n_q, h, d), jnp.float32)
 
-    def body(carry, _):
-        m, l, acc, kc, vc = carry
+    def fold(m, l, acc, kc, vc):
         s = jnp.einsum(
             "bqhd,bkhd->bhqk", qc, kc.astype(compute_dtype),
             preferred_element_type=jnp.float32,
@@ -194,15 +198,25 @@ def ring_attention(q, k, v, scale, axis_name: str,
             vc.astype(compute_dtype), preferred_element_type=jnp.float32,
         )
         acc_new = acc * alpha.transpose(0, 2, 1)[..., None] + pv
-        # rotate the k/v chunks one ICI hop (the final rotation returns
-        # them to their origin, keeping the scan carry shape-stable)
+        return m_new, l_new, acc_new
+
+    @jax.checkpoint
+    def body(carry, _):
+        m, l, acc, kc, vc = carry
+        m, l, acc = fold(m, l, acc, kc, vc)
+        # rotate the k/v chunks one ICI hop
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return (m_new, l_new, acc_new, kc, vc), None
+        return (m, l, acc, kc, vc), None
 
-    (m, l, acc, _k, _v), _ = jax.lax.scan(
-        body, (m0, l0, acc0, k, v), None, length=n_shards
-    )
+    carry = (m0, l0, acc0, k, v)
+    if n_shards > 1:
+        carry, _ = jax.lax.scan(body, carry, None, length=n_shards - 1)
+    m, l, acc, kc, vc = carry
+    # last chunk folds outside the scan: its rotation would only return
+    # the chunks to their origin to be discarded — peeling it saves two
+    # dead ppermutes per call (and their transposes in the backward)
+    m, l, acc = jax.checkpoint(fold)(m, l, acc, kc, vc)
     out = acc / l.transpose(0, 2, 1)[..., None]
     return out.astype(q.dtype)
 

@@ -209,6 +209,17 @@ def train_and_test(
             "not compose with the parallel strategies (shard the batch "
             "instead)"
         )
+    if sequence_parallel_ring and not (
+        sequence_parallel and sequence_parallel > 1
+    ):
+        # refuse loudly like every other inconsistent strategy combo:
+        # silently training plain dense attention while the user believes
+        # they benchmarked ring attention is worse than an error
+        raise ValueError(
+            "sequence_parallel_ring selects the ring variant OF sequence "
+            f"parallelism; it requires sequence_parallel >= 2 (got "
+            f"{sequence_parallel})"
+        )
 
     # PP/EP hold per-device-DIFFERENT grad slices inside shard_map, so a
     # norm clip chained into tx would compute a different global norm on
