@@ -118,3 +118,19 @@ def test_async_checkpoint_trainer_path(tmp_path):
     ]
     st2, ep, extra = ck.load_checkpoint(sorted(ckpts)[-1], state)
     assert ep == 3 and "wu_alpha" in extra
+
+
+def test_async_checkpointer_submit_survives_prior_error(tmp_path, state, capsys):
+    """A failed periodic write must not abort the training run at the
+    NEXT checkpoint epoch: submit() warns and keeps going; close()
+    still surfaces the error (train_and_test catches it and warns)."""
+    acp = ck.AsyncCheckpointer()
+    acp.submit(str(tmp_path / "nonexistent_dir_ro") + "/x/" + "\0bad", state)
+    acp._q.join()  # let the worker record the failure
+    good = tmp_path / "good.pkl"
+    acp.submit(str(good), state)  # must NOT raise
+    err = capsys.readouterr().err
+    assert "async checkpoint write failed" in err
+    with pytest.raises(BaseException):
+        acp.close()
+    assert good.exists()  # the later submit still wrote its snapshot

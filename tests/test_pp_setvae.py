@@ -326,3 +326,51 @@ def test_pp_rejects_dropout():
     mesh = make_pp_mesh(2)
     with pytest.raises(NotImplementedError):
         make_setvae_pp_train_step(model, optax.adam(1e-3), mesh, n_micro=2)
+
+
+def test_pp_rejects_moe():
+    """moe_experts under PP would die at apply() with an opaque flax
+    missing-param error (the PP step rebuilds layers with dense FFNs) —
+    it must refuse at construction with the real reason."""
+    model = SetVAE(latent_channel=8, num_points=N, d_model=16, num_heads=2,
+                   ff_dim=32, beta=0.1, num_encoder_layers=N_LAYERS,
+                   num_decoder_layers=1, moe_experts=4)
+    mesh = make_pp_mesh(2)
+    with pytest.raises(NotImplementedError, match="moe_experts"):
+        make_setvae_pp_train_step(model, optax.adam(1e-3), mesh, n_micro=2)
+
+
+def test_pp_remat_matches_single_device():
+    """model.remat must carry into the PP step (recompute-in-backward is
+    an identity on the gradients, so the non-remat parity bound holds)."""
+    model = SetVAE(latent_channel=8, num_points=N, d_model=16, num_heads=2,
+                   ff_dim=32, beta=0.1, num_encoder_layers=N_LAYERS,
+                   num_decoder_layers=1, remat=True)
+    x = _data()
+    params, _ = init_model(model, x[:2], seed=0)
+    wu = jnp.float32(1.0)
+    want_loss, want_grads = _single_device_grads(model, params, jnp.asarray(x), wu)
+
+    mesh = make_pp_mesh(2)
+    tx = optax.sgd(1.0)
+    pp = split_params(params, N_LAYERS)
+    pp_host = jax.tree.map(np.asarray, pp)
+    step = make_setvae_pp_train_step(model, tx, mesh, n_micro=2,
+                                     latent_rand_sampling=False)
+    p_sh, o_sh = shard_pp_setvae_state(pp, tx.init(pp), mesh, tx)
+    new_pp, _, metrics = step(p_sh, o_sh, jnp.asarray(x), wu,
+                              jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(metrics["loss"]), float(want_loss),
+                               rtol=1e-5)
+    got_grads = merge_params(
+        jax.tree.map(lambda a, b: a - b, pp_host, jax.device_get(new_pp)),
+        N_LAYERS,
+    )
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(got_grads)[0],
+        jax.tree_util.tree_flatten_with_path(want_grads)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=5e-6,
+            err_msg=f"gradient mismatch at {jax.tree_util.keystr(path)}",
+        )

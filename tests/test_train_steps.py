@@ -264,7 +264,11 @@ def test_accum_step_equals_explicit_microbatch_mean():
     want_loss = 0.0
     for c in range(N_MICRO):
         xi = jnp.asarray(X[c * (B // N_MICRO):(c + 1) * (B // N_MICRO)])
-        g, (total, *_r) = grads_fn(params, bs, xi, wu, rng)
+        # the accum step folds the microbatch index into rng so each
+        # microbatch draws DISTINCT i.i.d. latent eps (DP convention)
+        g, (total, *_r) = grads_fn(
+            params, bs, xi, wu, jax.random.fold_in(rng, c)
+        )
         g = jax.tree.map(lambda a: a / N_MICRO, g)
         want = g if want is None else jax.tree.map(jnp.add, want, g)
         want_loss += float(total) / N_MICRO
@@ -282,3 +286,36 @@ def test_accum_step_equals_explicit_microbatch_mean():
             rtol=1e-4, atol=1e-6,
         )
     assert int(new.step) == 1
+
+
+def test_multistep_eligible_gate():
+    """`tensor_parallel: 1` (and friends) mean DISABLED — the strategy
+    branches test `> 1`, so the multistep gate must too, or such configs
+    silently train single-device WITHOUT the K-step dispatch."""
+    from vae_song_tpu.train.loop import multistep_eligible
+
+    base = dict(
+        epochs=5, start_epoch=0, data_parallel=False,
+        pipeline_parallel=None, expert_parallel=None, tensor_parallel=None,
+        sequence_parallel=None, fsdp=False, grad_accum=None, use_scan=False,
+        dataset_nbytes=1024, native_prefetch=False,
+    )
+    assert multistep_eligible(**base)
+    # spelled-out "1" is still single-device -> still eligible
+    assert multistep_eligible(**{**base, "tensor_parallel": 1})
+    assert multistep_eligible(**{**base, "pipeline_parallel": 1})
+    assert multistep_eligible(**{**base, "sequence_parallel": 1})
+    assert multistep_eligible(**{**base, "grad_accum": 1})
+    # actually-active strategies disable the path
+    assert not multistep_eligible(**{**base, "tensor_parallel": 2})
+    assert not multistep_eligible(**{**base, "pipeline_parallel": 2})
+    assert not multistep_eligible(**{**base, "sequence_parallel": 2})
+    assert not multistep_eligible(**{**base, "grad_accum": 2})
+    assert not multistep_eligible(**{**base, "data_parallel": True})
+    assert not multistep_eligible(**{**base, "expert_parallel": True})
+    assert not multistep_eligible(**{**base, "fsdp": True})
+    assert not multistep_eligible(**{**base, "use_scan": True})
+    assert not multistep_eligible(**{**base, "native_prefetch": True})
+    # gen-only mode / oversized dataset
+    assert not multistep_eligible(**{**base, "epochs": 0})
+    assert not multistep_eligible(**{**base, "dataset_nbytes": 1 << 30})

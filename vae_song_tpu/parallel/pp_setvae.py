@@ -181,6 +181,12 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
     single-device path's flax make_rng derivation; the exact-parity
     test therefore compares with latent_rand_sampling=False (z = mu),
     which removes the only stream-dependent quantity.
+
+    num_mc_samples note: the single eps draw here MATCHES the
+    single-device set path — SetVAE.__call__ accepts L but draws one
+    sample, mirroring the reference (model.py:1069-1078, which takes
+    L=1 and never loops); L only multiplies samples for the Flexible
+    families (model.py:418-447), which PP does not drive.
     """
     is_lr = type(model).__name__ == "SetLRVAE"
     if not (model.use_attention and
@@ -199,6 +205,15 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             "pipeline parallelism (the PP step rebuilds the layers with "
             "dropout_rate=0.0); set attn_dropout: 0 or drop "
             "pipeline_parallel"
+        )
+    if getattr(model, "moe_experts", 0):
+        # the PP step rebuilds the layers with DENSE FFNs; MoE params
+        # (router/experts) would die at apply() with an opaque flax
+        # missing-param error — refuse with the real reason instead
+        raise NotImplementedError(
+            f"moe_experts={model.moe_experts} is not supported under "
+            "pipeline parallelism (MoE FFNs train under expert_parallel); "
+            "set moe_experts: 0 or drop pipeline_parallel"
         )
     clip_fn = optree.make_shardmap_clip(grad_clip, _is_stage_leaf, STAGE_AXIS)
     has_dp = DATA_AXIS in mesh.axis_names
@@ -223,6 +238,7 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
         d_model=model.d_model, num_heads=model.num_heads,
         num_layers=model.num_decoder_layers, ff_dim=model.ff_dim,
         dropout_rate=0.0, compute_dtype=cdt, use_flash=model.use_flash,
+        remat=getattr(model, "remat", False),
     )
 
     def stage_fn(local_stack, h):
@@ -230,6 +246,12 @@ def make_setvae_pp_train_step(model, tx, mesh: Mesh, n_micro: int,
             y = enc_layer_mod.apply({"params": layer_params}, carry, train=True)
             return y, None
 
+        if getattr(model, "remat", False):
+            # honor the model's configured memory behavior: recompute
+            # each encoder layer's activations in the pipelined backward
+            # instead of stashing them per scan step (models/setvae.py
+            # SetEncoderAttn.remat does the same on the single-device path)
+            body = jax.checkpoint(body)
         y, _ = lax.scan(body, h, local_stack)
         return y
 

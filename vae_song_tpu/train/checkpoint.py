@@ -7,6 +7,7 @@ saves and true mid-run resume, which the reference lacks
 import os
 import pickle
 import queue
+import sys
 import threading
 
 import jax
@@ -51,19 +52,30 @@ class AsyncCheckpointer:
 
     Saves complete in submission order. `wait()` blocks until the
     queue drains and re-raises the first worker error — call it before
-    reading the files, resuming from them, or exiting.
+    reading the files, resuming from them, or exiting. `submit()` never
+    raises for a PRIOR write failure: a missing periodic snapshot must
+    not abort the multi-hour training run it was meant to protect — it
+    warns (once per error) and keeps submitting, since transient causes
+    (full disk, fs hiccup) may clear.
     """
 
     def __init__(self):
         self._q: queue.Queue = queue.Queue()
         self._err: list[BaseException] = []
+        self._warned = 0
         self._worker = threading.Thread(target=self._run, daemon=True)
         self._worker.start()
 
     def submit(self, path, state: TrainState, epoch: int = 0,
                extra: dict | None = None) -> None:
-        if self._err:
-            raise self._err[0]
+        while self._warned < len(self._err):
+            print(
+                "WARNING: async checkpoint write failed: "
+                f"{self._err[self._warned]!r} (training continues; that "
+                "periodic snapshot is missing)",
+                file=sys.stderr, flush=True,
+            )
+            self._warned += 1
         snap = jax.tree.map(jnp.copy, state)
         self._q.put((path, snap, epoch, extra))
 

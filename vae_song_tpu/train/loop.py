@@ -79,6 +79,37 @@ def init_model(model, sample_x, seed=0, L=1):
     return variables["params"], variables.get("batch_stats", {})
 
 
+def multistep_eligible(*, epochs, start_epoch, data_parallel,
+                       pipeline_parallel, expert_parallel, tensor_parallel,
+                       sequence_parallel, fsdp, grad_accum, use_scan,
+                       dataset_nbytes, native_prefetch) -> bool:
+    """Gate for the K-steps-per-dispatch path: single-device training
+    only, dataset resident in HBM (amortizes the 10-20 ms relay dispatch
+    latency; see train/steps.py:make_multistep_train_step).
+
+    "Disabled" may be spelled 1 as well as None/0 for the integer
+    strategies — the strategy branches all test `> 1`, so this gate
+    must match or a `tensor_parallel: 1` config would silently lose the
+    K-step dispatch while still training single-device
+    (tests/test_train_steps.py::test_multistep_eligible_gate).
+    """
+    return (
+        epochs > start_epoch  # gen-only mode must not upload the dataset
+        and not data_parallel
+        and not (pipeline_parallel and pipeline_parallel > 1)
+        and not expert_parallel
+        and not (tensor_parallel and tensor_parallel > 1)
+        and not (sequence_parallel and sequence_parallel > 1)
+        and not fsdp
+        and not (grad_accum and grad_accum > 1)
+        and not use_scan
+        and dataset_nbytes < 512 * 1024 * 1024
+        # an explicit native_prefetch request keeps the C++ loader path;
+        # the device-resident multistep path would never invoke it
+        and not native_prefetch
+    )
+
+
 def train_and_test(
     model,
     epochs: int = 100,
@@ -614,20 +645,13 @@ def train_and_test(
     multi_step = None
     multi_k = 1
     is_set = getattr(model, "data_type", None) == "set"
-    if (
-        epochs > start_epoch  # gen-only mode must not upload the dataset
-        and not data_parallel
-        and not pipeline_parallel
-        and not expert_parallel
-        and not tensor_parallel
-        and not sequence_parallel
-        and not fsdp
-        and not (grad_accum and grad_accum > 1)
-        and not use_scan
-        and train_ds.X.nbytes < 512 * 1024 * 1024
-        # an explicit native_prefetch request keeps the C++ loader path;
-        # the device-resident multistep path would never invoke it
-        and not native_prefetch
+    if multistep_eligible(
+        epochs=epochs, start_epoch=start_epoch,
+        data_parallel=data_parallel, pipeline_parallel=pipeline_parallel,
+        expert_parallel=expert_parallel, tensor_parallel=tensor_parallel,
+        sequence_parallel=sequence_parallel, fsdp=fsdp,
+        grad_accum=grad_accum, use_scan=use_scan,
+        dataset_nbytes=train_ds.X.nbytes, native_prefetch=native_prefetch,
     ):
         from vae_song_tpu.train.steps import pick_multistep_k
 

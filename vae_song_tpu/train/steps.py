@@ -153,8 +153,9 @@ def make_accum_train_step(model, tx, n_micro: int, L: int = 1,
     sequentially per microbatch (torch grad-accum semantics).
 
     step(state, x, wu_alpha, rng) -> (state, metrics); x's leading axis
-    must divide by n_micro. Microbatches share `rng`; the latent eps
-    draws are shaped per-microbatch, so the step equals the full-batch
+    must divide by n_micro. Each microbatch folds its index into `rng`
+    (the same decorrelation convention as the DP/EP shard steps) so all
+    B latent eps draws are distinct — the step equals the full-batch
     step in distribution (i.i.d. sampling), and equals the explicit
     mean-of-microbatch-gradients EXACTLY (tests/test_train_steps.py).
     """
@@ -164,10 +165,11 @@ def make_accum_train_step(model, tx, n_micro: int, L: int = 1,
     def train_step(state: TrainState, x, wu_alpha, rng):
         xm = x.reshape(n_micro, x.shape[0] // n_micro, *x.shape[1:])
 
-        def body(carry, xi):
+        def body(carry, inp):
+            xi, i = inp
             g_acc, bs, m_acc = carry
             grads, (total, rec, reg_s, lr_s, raw_kl, new_bs) = grads_fn(
-                state.params, bs, xi, wu_alpha, rng
+                state.params, bs, xi, wu_alpha, jax.random.fold_in(rng, i)
             )
             g_acc = jax.tree.map(
                 lambda a, g: a + g / n_micro, g_acc, grads
@@ -177,7 +179,9 @@ def make_accum_train_step(model, tx, n_micro: int, L: int = 1,
 
         g0 = jax.tree.map(jnp.zeros_like, state.params)
         (grads, new_bs, m), _ = jax.lax.scan(
-            body, (g0, state.batch_stats, jnp.zeros(5, jnp.float32)), xm
+            body,
+            (g0, state.batch_stats, jnp.zeros(5, jnp.float32)),
+            (xm, jnp.arange(n_micro, dtype=jnp.uint32)),
         )
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = jax.tree.map(lambda p, u: p + u, state.params, updates)
