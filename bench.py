@@ -27,6 +27,7 @@ import time
 BATCH = 256
 BENCH_STEPS = 48
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json")
+RESULT_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_last_result.json")
 REFERENCE_PATH = "/root/reference"
 # TPU v5e (v5 lite) peak: 197 TFLOP/s bf16 per chip. MFU below is
 # analytic-FLOPs / wall-clock / this peak; the conv-VAE step is tiny and
@@ -330,18 +331,20 @@ def measure_torch_baseline():
         return None
 
 
-def wait_for_backend():
+def wait_for_backend() -> bool:
     """The tunneled TPU relay has transient outages (observed: hours).
     A hung backend init cannot be timed out in-process, so probe it in
     a SUBPROCESS and wait out short outages instead of recording a
     bogus failure. Bounded by VST_BENCH_WAIT_TPU_S (default 30 min,
-    0 disables); on deadline the bench proceeds and fails with the
-    real error."""
+    0 disables the wait AND the stale fallback). Returns True when the
+    backend answered (or waiting is disabled), False when the probe was
+    still failing at the deadline — main() then replays the cached last
+    good result marked stale instead of hanging in backend init."""
     import subprocess
 
     budget = float(os.environ.get("VST_BENCH_WAIT_TPU_S", 1800))
     if budget <= 0:
-        return
+        return True
     deadline = time.time() + budget
     probe = ("import jax, jax.numpy as jnp; x = jnp.ones((8, 8)); "
              "assert float((x @ x).sum()) == 512.0")
@@ -352,18 +355,43 @@ def wait_for_backend():
                 stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
             )
             if r.returncode == 0:
-                return
+                return True
         except subprocess.TimeoutExpired:
             pass
         if time.time() >= deadline:
             log("backend probe still failing at deadline; proceeding")
-            return
+            return False
         log("backend unavailable; retrying in 60s")
         time.sleep(60)
 
 
 def main():
-    wait_for_backend()
+    backend_ok = wait_for_backend()
+    if not backend_ok and os.path.exists(RESULT_CACHE):
+        # STALE FALLBACK — only when the backend probe itself failed
+        # (relay outages here last hours, and an in-process backend init
+        # against a dead relay HANGS rather than raising): replay the
+        # last GOOD result, explicitly marked, rather than record
+        # nothing. A measurement failure on a HEALTHY backend is a real
+        # regression and still crashes loudly — old numbers never paper
+        # over it.
+        with open(RESULT_CACHE) as f:
+            cached = json.load(f)
+        cached["stale"] = True
+        cached["stale_reason"] = (
+            "TPU relay unreachable through the wait budget "
+            f"(VST_BENCH_WAIT_TPU_S); replaying the last good result"
+        )
+        log("backend down; replaying cached result marked stale")
+        print(json.dumps(cached))
+        return
+    result = measure_all()
+    with open(RESULT_CACHE, "w") as f:
+        json.dump(result, f)
+    print(json.dumps(result))
+
+
+def measure_all() -> dict:
     value, mfu = measure_tpu_throughput()
     setvae_ms, setvae_flops = measure_setvae_step()
     fast_ms, _partial = measure_setvae_step(mixed_precision=True,
@@ -372,7 +400,7 @@ def main():
     vs = (value / baseline) if baseline else -1.0
     # the flash program's cost analysis omits the Pallas custom call's
     # FLOPs; the model FLOPs are identical, so use the XLA variant's
-    print(json.dumps({
+    return ({
         "metric": "mnist_conv_vae_train_throughput",
         "value": round(value, 1),
         "unit": "samples/sec/chip",
@@ -383,7 +411,7 @@ def main():
         "setvae_fast_ms_per_step": round(fast_ms, 1),    # bf16, trainer's scanned-multistep path (dense Pallas attention)
         "setvae_fast_mfu": round(_mfu(setvae_flops, fast_ms), 4),
         "v5e_peak_tflops_bf16": 197,
-    }))
+    })
 
 
 if __name__ == "__main__":
