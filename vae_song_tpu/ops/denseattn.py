@@ -57,6 +57,14 @@ MAX_DENSE_SEQ = 2048
 # at the set shapes); rows fall back to whole-N when n % BQ != 0
 FWD_BLOCK_Q = 1024
 
+# query-row block for the packed BACKWARD grid: halving the [BQ, N]
+# intermediates gives Mosaic room to double-buffer the five matmuls;
+# dK/dV accumulate across row blocks in f32 VMEM scratch and are
+# written once. Measured at the set shapes (bf16): 11.9 -> 10.6 ms per
+# backward (BQ=1024 beat 512's 10.9 ms); bitwise dq, dk/dv within one
+# bf16 ulp of the whole-row kernel (f32 accumulation reassociates).
+BWD_BLOCK_Q = 1024
+
 LOG2E = 1.4426950408889634
 LN2 = 0.6931471805599453
 
@@ -78,6 +86,31 @@ def _vpu_dtype(dtype):
 # 1.0 entry, so l >= 1.
 
 
+def _pv_and_rowsum(p, v):
+    """o = P V and l = rowsum(P) from ONE matmul: a ones column appended
+    to v rides the same MXU pass (v's minor dim lane-pads to 128
+    regardless when d % 128 != 0, so the extra column is free) —
+    removing the separate f32 [BQ, N] row-sum VPU pass. Each p entry
+    times 1.0 is exact and the accumulator is f32, so l matches the
+    p.sum() formulation up to f32 reassociation. Falls back to the
+    explicit sum when v has no lane-padding slack (d % 128 == 0:
+    appending a column would DOUBLE the padded lane count)."""
+    n, d = v.shape
+    if d % 128 == 0:
+        o = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        l = p.astype(jnp.float32).sum(axis=1, keepdims=True)
+        return o, l
+    v_aug = jnp.concatenate([v, jnp.ones((n, 1), v.dtype)], axis=1)
+    ol = jax.lax.dot_general(
+        p, v_aug, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                   # [BQ, d+1] f32
+    return ol[:, :d], ol[:, d:]
+
+
 def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
     q = q_ref[0]                       # [BQ, D] (query-row block)
     k = k_ref[0]                       # [N, D]
@@ -97,13 +130,9 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale):
     m = s.max(axis=1, keepdims=True)
     # single fused shift->cast->exp2 chain at the cd VPU rate
     p = jnp.exp2((s - m).astype(cd))
-    # f32 row-sum: the normalizer accumulates 2048 terms
-    l = p.astype(jnp.float32).sum(axis=1, keepdims=True)
-    # normalize AFTER the PV matmul: BQ*D divides instead of BQ*N
-    o = jax.lax.dot_general(
-        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # PV matmul carries the f32 normalizer row-sum in a free ones
+    # column; normalize AFTER it: BQ*D divides instead of BQ*N
+    o, l = _pv_and_rowsum(p.astype(q.dtype), v)
     o_ref[0] = (o / l).astype(q.dtype)
     # base-2 LSE residual for the backward ([BQ, 1] — keeps the sublane
     # layout of the row reductions); l >= 1 so log2 is safe
@@ -381,11 +410,9 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_a_ref, lse_b_ref,
         )                              # [BQ, N] base-2 scores
         m = s.max(axis=1, keepdims=True)
         p = jnp.exp2((s - m).astype(cd))
-        l = p.astype(jnp.float32).sum(axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(q2.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        # normalizer row-sum rides the PV matmul (free ones column;
+        # each head's v is 64-wide, half the 128-lane pad)
+        o, l = _pv_and_rowsum(p.astype(q2.dtype), v)
         outs.append((o / l).astype(q2.dtype))
         lses.append(m + jnp.log2(l))
     o_ref[0] = jnp.concatenate(outs, axis=1)
@@ -395,10 +422,19 @@ def _fwd_kernel_packed(q_ref, k_ref, v_ref, o_ref, lse_a_ref, lse_b_ref,
 
 def _bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref, o_ref,
                        lse_a_ref, lse_b_ref, dq_ref, dk_ref, dv_ref,
-                       *, scale):
-    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]
-    do2, o2 = do_ref[0], o_ref[0]
-    lses = (lse_a_ref[0, 0], lse_b_ref[0, 0])   # [N, 1] f32 each
+                       dk_acc, dv_acc, *, scale, nblocks):
+    """Query-row-blocked packed backward: grid (B, H/2, N/BWD_BLOCK_Q).
+
+    q/do/o (and dq) stream in [BQ, 128] row blocks; k/v stay whole-N.
+    dK/dV are partial sums over query rows, so they accumulate across
+    the r grid steps in f32 VMEM scratch (TPU grid steps run
+    sequentially) and are cast/written once at the last block."""
+    import jax.experimental.pallas as pl
+
+    r = pl.program_id(2)
+    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]   # q2/do2/o2: [BQ, 128]
+    do2, o2 = do_ref[0], o_ref[0]               # k2/v2:    [N, 128]
+    lses = (lse_a_ref[0, 0], lse_b_ref[0, 0])   # [BQ, 1] f32 each
     cd = _vpu_dtype(q2.dtype)
     qc2 = (q2.astype(jnp.float32) * (scale * LOG2E)).astype(q2.dtype)
     dqs, dks, dvs = [], [], []
@@ -409,12 +445,12 @@ def _bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref, o_ref,
         s = jax.lax.dot_general(
             qc, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
+        )                                        # [BQ, N]
         p = jnp.exp2((s - lse).astype(cd))
         dvs.append(jax.lax.dot_general(
             p.astype(q2.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(q2.dtype))
+        ))                                       # [N, 64] f32 partial
         dp = jax.lax.dot_general(
             do, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -427,13 +463,28 @@ def _bwd_kernel_packed(q_ref, k_ref, v_ref, do_ref, o_ref,
             ds, k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale).astype(q2.dtype))
-        dks.append((jax.lax.dot_general(
+        dks.append(jax.lax.dot_general(
             ds, qc, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * LN2).astype(q2.dtype))
+        ) * LN2)                                 # [N, 64] f32 partial
     dq_ref[0] = jnp.concatenate(dqs, axis=1)
-    dk_ref[0] = jnp.concatenate(dks, axis=1)
-    dv_ref[0] = jnp.concatenate(dvs, axis=1)
+    dk_new = jnp.concatenate(dks, axis=1)
+    dv_new = jnp.concatenate(dvs, axis=1)
+
+    @pl.when(r == 0)
+    def _init():
+        dk_acc[:] = dk_new
+        dv_acc[:] = dv_new
+
+    @pl.when(r > 0)
+    def _acc():
+        dk_acc[:] = dk_acc[:] + dk_new
+        dv_acc[:] = dv_acc[:] + dv_new
+
+    @pl.when(r == nblocks - 1)
+    def _emit():
+        dk_ref[0] = dk_acc[:].astype(q2.dtype)
+        dv_ref[0] = dv_acc[:].astype(q2.dtype)
 
 
 def _call_fwd_packed(q, k, v, scale, interpret):
@@ -477,15 +528,25 @@ def _call_bwd_packed(q, k, v, do, o, lse_a, lse_b, scale, interpret):
 
     b, n, hd = q.shape
     hp = hd // 128
-    spec = pl.BlockSpec((1, n, 128), lambda i, j: (i, 0, j))
-    lse_spec = pl.BlockSpec((1, 1, n, 1), lambda i, j: (i, j, 0, 0))
+    bq = BWD_BLOCK_Q if n % BWD_BLOCK_Q == 0 else n
+    nblocks = n // bq
+    rowspec = pl.BlockSpec((1, bq, 128), lambda i, j, r: (i, r, j))
+    fullspec = pl.BlockSpec((1, n, 128), lambda i, j, r: (i, 0, j))
+    lse_spec = pl.BlockSpec((1, 1, bq, 1), lambda i, j, r: (i, j, r, 0))
     shape = jax.ShapeDtypeStruct((b, n, hd), q.dtype)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel_packed, scale=scale),
-        grid=(b, hp),
-        in_specs=[spec] * 5 + [lse_spec] * 2,
-        out_specs=(spec,) * 3,
+        functools.partial(
+            _bwd_kernel_packed, scale=scale, nblocks=nblocks
+        ),
+        grid=(b, hp, nblocks),
+        in_specs=[rowspec, fullspec, fullspec, rowspec, rowspec,
+                  lse_spec, lse_spec],
+        out_specs=(rowspec, fullspec, fullspec),
         out_shape=(shape,) * 3,
+        scratch_shapes=[
+            pltpu.VMEM((n, 128), jnp.float32),
+            pltpu.VMEM((n, 128), jnp.float32),
+        ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(q, k, v, do, o, lse_a, lse_b)
