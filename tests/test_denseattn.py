@@ -141,3 +141,35 @@ def test_dense_default_gate(monkeypatch):
     assert attn._dense_default_ok(4096, 4096, 64) is False   # too long
     monkeypatch.setenv("VST_DISABLE_DENSE_ATTN", "1")
     assert attn._dense_default_ok(2048, 2048, 64) is False   # opt-out
+
+
+def test_d128_heads_rowsum_fallback():
+    """head_dim=128 has no lane-padding slack, so _pv_and_rowsum must
+    take the explicit-sum fallback (a ones column would double the
+    padded lane count); forward and cotangents still match XLA."""
+    d = 128
+    rng = np.random.default_rng(9)
+    mk = lambda: jnp.asarray(rng.normal(size=(B, N, H, d)).astype(np.float32))
+    q, k, v = mk(), mk(), mk()
+    scale = 1.0 / np.sqrt(d)
+    co = mk()
+    assert dense_ok(N, N, d)
+
+    want = _xla_attention(q, k, v, scale, compute_dtype=jnp.float32)
+    got = dense_attention(q, k, v, scale, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    gp = jax.grad(
+        lambda q, k, v: (dense_attention(q, k, v, scale, interpret=True) * co).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: (_xla_attention(q, k, v, scale, compute_dtype=jnp.float32) * co).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    for name, a, b in zip("qkv", gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name} mismatch (d=128)",
+        )

@@ -170,3 +170,38 @@ def test_packed_default_gate(monkeypatch):
     monkeypatch.delenv("VST_DENSE_ATTN_PACKED")
     monkeypatch.setenv("VST_DISABLE_DENSE_ATTN", "1")
     assert attn._packed_attn_ok(2048, 2048, 4, 64) is False
+
+
+def test_multiblock_backward_accumulation(monkeypatch):
+    """On-chip shapes (N=2048) split the backward into N/BWD_BLOCK_Q
+    row blocks whose dK/dV accumulate in VMEM scratch across grid
+    steps; the small shapes above fall back to nblocks=1, so force
+    tiny blocks to exercise the r>0 accumulate and last-block emit
+    paths in interpret mode. The forward's FWD_BLOCK_Q grid is covered
+    the same way."""
+    from vae_song_tpu.ops import denseattn
+
+    monkeypatch.setattr(denseattn, "FWD_BLOCK_Q", 64)
+    monkeypatch.setattr(denseattn, "BWD_BLOCK_Q", 64)   # N=256 -> 4 blocks
+
+    q, k, v = _inputs(7)
+    co = jnp.asarray(
+        np.random.default_rng(8).normal(size=(B, N, H * D)).astype(np.float32)
+    )
+    want = _xla_flat(q, k, v)
+    got = dense_attention_packed(q, k, v, SCALE, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5, rtol=2e-5)
+
+    gp = jax.grad(
+        lambda q, k, v: (dense_attention_packed(q, k, v, SCALE, interpret=True) * co).sum(),
+        argnums=(0, 1, 2),
+    )(q, k, v)
+    gx = jax.grad(
+        lambda q, k, v: (_xla_flat(q, k, v) * co).sum(), argnums=(0, 1, 2)
+    )(q, k, v)
+    for name, a, b in zip("qkv", gp, gx):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5, rtol=5e-5,
+            err_msg=f"d{name} mismatch (multi-block)",
+        )
