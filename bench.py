@@ -280,6 +280,67 @@ def measure_setvae_step(mixed_precision=False, use_flash=False,
     return ms, flops
 
 
+def measure_generation():
+    """Serving-path throughput: z ~ N(0, I) -> decode, the program
+    cli/generate.py dispatches (test.py:113-140 equivalent). Times the
+    conv-VAE image decoder (MNIST config, batch 1024) and the SetVAE
+    attention set decoder (ShapeNet config, batch 64, bf16) —
+    sampling-included, closed by a device-scalar fetch."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from vae_song_tpu.models import VanillaVAE, SetVAE
+    from vae_song_tpu.train.state import TrainState, make_optimizer
+    from vae_song_tpu.train.loop import init_model
+
+    results = {}
+    tx = make_optimizer(lr=1e-3)
+
+    def time_decode(model, x_init, bs, z_dim, tag):
+        params, bstats = init_model(model, x_init, seed=0)
+        state = TrainState.create(params, bstats, tx)
+
+        def sample_and_decode(state, key):
+            z = jax.random.normal(key, (bs, z_dim))
+            out = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                z, train=False, method="decode",
+            )
+            return out.astype(jnp.float32).sum()
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 64)
+        t0 = time.time()
+        compiled, _ = _aot(jax.jit(sample_and_decode), state, keys[0])
+        _ = float(compiled(state, keys[0]))
+        log(f"{tag} decode compile+first: {time.time()-t0:.1f}s")
+        inner, best = 10, float("inf")
+        for trial in range(4):
+            t0 = time.time()
+            s = None
+            for i in range(inner):
+                s = compiled(state, keys[trial * inner + i])
+            _ = float(s)
+            best = min(best, (time.time() - t0) / inner)
+        sps = bs / best
+        log(f"{tag} generation: {sps:.0f} samples/sec (batch {bs})")
+        return sps
+
+    conv = VanillaVAE.for_dataset("mnist", encoder_type="conv",
+                                  decoder_type="conv", beta=1.0)
+    x0 = np.zeros((2, 28, 28, 1), np.float32)
+    results["generation_samples_per_sec"] = time_decode(
+        conv, x0, 1024, conv.latent_channel, "conv-VAE")
+
+    setvae = SetVAE(latent_channel=128, num_points=2048, d_model=256,
+                    num_heads=4, ff_dim=512, beta=0.001,
+                    mixed_precision=True)
+    xs0 = np.zeros((2, 2048, 3), np.float32)
+    results["setvae_generation_clouds_per_sec"] = time_decode(
+        setvae, xs0, 64, 128, "setvae")
+    return results
+
+
 def _mfu(flops, ms):
     return (flops / (ms / 1000) / V5E_PEAK_FLOPS) if flops else -1.0
 
@@ -396,6 +457,7 @@ def measure_all() -> dict:
     setvae_ms, setvae_flops = measure_setvae_step()
     fast_ms, _partial = measure_setvae_step(mixed_precision=True,
                                             multistep=True)
+    gen = measure_generation()
     baseline = measure_torch_baseline()
     vs = (value / baseline) if baseline else -1.0
     # the flash program's cost analysis omits the Pallas custom call's
@@ -410,6 +472,8 @@ def measure_all() -> dict:
         "setvae_mfu": round(_mfu(setvae_flops, setvae_ms), 4),
         "setvae_fast_ms_per_step": round(fast_ms, 1),    # bf16, trainer's scanned-multistep path (dense Pallas attention)
         "setvae_fast_mfu": round(_mfu(setvae_flops, fast_ms), 4),
+        "generation_samples_per_sec": round(gen["generation_samples_per_sec"], 1),       # serving path: z -> conv decode, batch 1024
+        "setvae_generation_clouds_per_sec": round(gen["setvae_generation_clouds_per_sec"], 1),  # z -> set decode, N=2048, bf16
         "v5e_peak_tflops_bf16": 197,
     })
 
