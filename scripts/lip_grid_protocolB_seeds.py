@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Protocol-B Lipschitz/KL grid with 4-seed bands (VERDICT r2 item 5).
+"""Protocol-B (default) or protocol-A Lipschitz/KL grid with 4-seed bands.
 
 Re-runs the reference's 27 committed cells (alpha x beta grid of
 res_share/vis_lip_kl_exp_scc, exp_lip_lrvae.sh protocol with the
@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--output_root", required=True)
     ap.add_argument("--seeds", nargs="+", type=int, default=[42, 43, 44, 45])
     ap.add_argument("--epochs", type=int, default=1000)
+    ap.add_argument("--components", type=int, default=2,
+                    help="training-mixture components: 2 = protocol B "
+                         "(committed cells' data), 8 = protocol A "
+                         "(documented sweep-script defaults)")
     args = ap.parse_args()
 
     from vae_song_tpu.parallel.sweep import run_sweep
@@ -57,7 +61,8 @@ def main():
                     seeds=(seed,),
                     epochs=args.epochs,
                     output_root=args.output_root,
-                    extra_args=("--num_training_components", "2"),  # protocol B
+                    extra_args=("--num_training_components",
+                                str(args.components)),
                 )
     with open(os.path.join(args.output_root, "sweep_summary.json"), "w") as f:
         json.dump(results, f, indent=1)

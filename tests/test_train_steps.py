@@ -319,3 +319,80 @@ def test_multistep_eligible_gate():
     # gen-only mode / oversized dataset
     assert not multistep_eligible(**{**base, "epochs": 0})
     assert not multistep_eligible(**{**base, "dataset_nbytes": 1 << 30})
+
+
+def test_grad_clip_pnorm_matches_torch():
+    """norm_type != 2 forwards to the reference's
+    torch.nn.utils.clip_grad_norm_ semantics (utils.py:12-32): global
+    p-norm over all grads, scale by max_norm/(norm + 1e-6). Oracle:
+    torch itself."""
+    import torch
+
+    g_np = {
+        "w": np.array([3.0, -4.0, 0.5], np.float32),
+        "b": np.array([[1.5, -2.5]], np.float32),
+    }
+    for p in (1.0, 3.0, float("inf")):
+        tx = make_optimizer(
+            lr=1.0,
+            grad_clip={"enabled": True, "clip_type": "norm",
+                       "max_norm": 1.0, "norm_type": p},
+        )
+        g = jax.tree.map(jnp.asarray, g_np)
+        # the chained optimizer must accept the key without raising
+        tx.update(g, tx.init(g), g)
+
+        params = [torch.nn.Parameter(torch.zeros(v.shape)) for v in g_np.values()]
+        for prm, v in zip(params, g_np.values()):
+            prm.grad = torch.tensor(v)
+        torch.nn.utils.clip_grad_norm_(params, max_norm=1.0, norm_type=p)
+        # compare the clip transform directly (adam after it would mix
+        # in moment normalization)
+        from vae_song_tpu.train.state import clip_by_global_pnorm
+
+        clip = clip_by_global_pnorm(1.0, p)
+        cu, _ = clip.update(g, clip.init(g))
+        want = {k: prm.grad.numpy() for k, prm in zip(g_np.keys(), params)}
+        for k in g_np:
+            np.testing.assert_allclose(
+                np.asarray(cu[k]), want[k], rtol=1e-5, atol=1e-7,
+                err_msg=f"p={p} leaf {k}",
+            )
+
+
+def test_shardmap_clip_pnorm_matches_single_device():
+    """make_shardmap_clip with norm_type != 2 on a sharded+replicated
+    tree equals the single-device clip of the assembled tree."""
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import Mesh, PartitionSpec as P
+    from vae_song_tpu.parallel.optree import make_shardmap_clip
+    from vae_song_tpu.train.state import clip_by_global_pnorm
+
+    rng = np.random.default_rng(0)
+    sharded = jnp.asarray(rng.normal(size=(4, 8)).astype(np.float32) * 3)
+    repl = jnp.asarray(rng.normal(size=(5,)).astype(np.float32) * 3)
+    for p in (1.0, float("inf")):
+        cfg = {"enabled": True, "clip_type": "norm", "max_norm": 1.0,
+               "norm_type": p}
+        clip_sm = make_shardmap_clip(
+            cfg, is_sharded_leaf=lambda path: "sharded" in str(path),
+            axis="d",
+        )
+        mesh = Mesh(np.array(jax.devices()[:4]), ("d",))
+        out = jax.jit(jax.shard_map(
+            lambda t: clip_sm(t), mesh=mesh,
+            in_specs=({"sharded": P("d"), "repl": P()},),
+            out_specs={"sharded": P("d"), "repl": P()},
+            check_vma=False,
+        ))({"sharded": sharded, "repl": repl})
+
+        ref_clip = clip_by_global_pnorm(1.0, p)
+        tree = {"sharded": sharded, "repl": repl}
+        want, _ = ref_clip.update(tree, ref_clip.init(tree))
+        np.testing.assert_allclose(np.asarray(out["sharded"]),
+                                   np.asarray(want["sharded"]), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(out["repl"]),
+                                   np.asarray(want["repl"]), rtol=1e-5)

@@ -152,16 +152,29 @@ def main(argv=None):
     parser.add_argument("--grad_clip_enabled", action="store_true")
     parser.add_argument("--grad_clip_type", type=str, default="norm", choices=["norm", "value"])
     parser.add_argument("--grad_clip_max_norm", type=float, default=1.0)
+    parser.add_argument("--grad_clip_norm_type", type=float, default=2.0,
+                        help="p-norm for norm clipping (reference "
+                             "complexity_benchmark.py:171)")
     parser.add_argument("--grad_clip_value", type=float, default=1.0)
+    parser.add_argument("--device", type=str, default=None,
+                        choices=["cpu", "tpu", "cuda"],
+                        help="reference-compat flag: 'cpu' forces the "
+                             "CPU backend; 'tpu'/'cuda' (or unset) use "
+                             "the default accelerator")
     args = parser.parse_args(argv)
 
     os.makedirs(args.output_dir, exist_ok=True)
     train_ds, test_ds, augment = data_lib.load_dataset("mnist", fake=args.fake_data, seed=0)
 
+    if args.device == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     grad_clip = {
         "enabled": args.grad_clip_enabled,
         "clip_type": args.grad_clip_type,
         "max_norm": args.grad_clip_max_norm,
+        "norm_type": args.grad_clip_norm_type,
         "clip_value": args.grad_clip_value,
     }
 

@@ -64,7 +64,15 @@ def main(argv=None):
     parser.add_argument("--n_samples", type=int, default=100)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device", type=str, default=None,
+                        choices=["cpu", "tpu", "cuda"],
+                        help="reference-compat flag (test.py:147): "
+                             "'cpu' forces the CPU backend; 'tpu'/'cuda' "
+                             "(or unset) use the default accelerator")
     args = parser.parse_args(argv)
+
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     config = load_config(args.config)
     model = create_model_from_config(config)

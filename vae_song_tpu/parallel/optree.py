@@ -130,18 +130,45 @@ def make_shardmap_clip(grad_clip, is_sharded_leaf, axis):
     if clip_type != "norm":
         raise ValueError(f"unknown clip_type {clip_type!r}")
     max_norm = float(grad_clip.get("max_norm", 1.0))
+    norm_type = float(grad_clip.get("norm_type", 2.0))
 
     def clip(grads):
-        local_sq = jnp.float32(0.0)
-        repl_sq = jnp.float32(0.0)
-        for path, g in jax.tree_util.tree_leaves_with_path(grads):
-            s = jnp.sum(jnp.square(g.astype(jnp.float32)))
-            if is_sharded_leaf(path):
-                local_sq = local_sq + s
-            else:
-                repl_sq = repl_sq + s
-        gnorm = jnp.sqrt(lax.psum(local_sq, axis) + repl_sq)
-        scale = max_norm / jnp.maximum(gnorm, max_norm)
+        if norm_type == float("inf"):
+            # inf-norm: pmax of sharded leaves' maxima + replicated max
+            local_m = jnp.float32(0.0)
+            repl_m = jnp.float32(0.0)
+            for path, g in jax.tree_util.tree_leaves_with_path(grads):
+                m = jnp.max(jnp.abs(g.astype(jnp.float32)))
+                if is_sharded_leaf(path):
+                    local_m = jnp.maximum(local_m, m)
+                else:
+                    repl_m = jnp.maximum(repl_m, m)
+            gnorm = jnp.maximum(lax.pmax(local_m, axis), repl_m)
+        else:
+            local_s = jnp.float32(0.0)
+            repl_s = jnp.float32(0.0)
+            for path, g in jax.tree_util.tree_leaves_with_path(grads):
+                gf = g.astype(jnp.float32)
+                # keep the p=2 lowering EXACTLY as before (square+sqrt)
+                # so existing parity/checkpoint tests stay bitwise
+                s = (jnp.sum(jnp.square(gf)) if norm_type == 2.0
+                     else jnp.sum(jnp.abs(gf) ** norm_type))
+                if is_sharded_leaf(path):
+                    local_s = local_s + s
+                else:
+                    repl_s = repl_s + s
+            tot = lax.psum(local_s, axis) + repl_s
+            gnorm = (jnp.sqrt(tot) if norm_type == 2.0
+                     else tot ** (1.0 / norm_type))
+        if norm_type == 2.0:
+            # keep the exact optax.clip_by_global_norm scale rule the
+            # single-device path uses (no eps) so checkpoint/parity
+            # tests see bitwise-matching updates
+            scale = max_norm / jnp.maximum(gnorm, max_norm)
+        else:
+            # torch clip_grad_norm_ rule, matching train/state.py's
+            # clip_by_global_pnorm for p != 2
+            scale = jnp.minimum(1.0, max_norm / (gnorm + 1e-6))
         return jax.tree.map(lambda g: (g * scale.astype(g.dtype)), grads)
 
     return clip

@@ -25,6 +25,38 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def global_pnorm(grads, p: float):
+    """Global p-norm over every grad leaf (torch clip_grad_norm_'s
+    norm: the p-norm of the vector of ALL grad elements; p=inf is the
+    max absolute element)."""
+    import jax.numpy as jnp
+
+    leaves = [g.astype(jnp.float32) for g in jax.tree.leaves(grads)]
+    if p == float("inf"):
+        return jnp.max(jnp.asarray([jnp.max(jnp.abs(g)) for g in leaves]))
+    acc = sum(jnp.sum(jnp.abs(g) ** p) for g in leaves)
+    return acc ** (1.0 / p)
+
+
+def clip_by_global_pnorm(max_norm: float, p: float) -> optax.GradientTransformation:
+    """torch.nn.utils.clip_grad_norm_ semantics for p != 2 (reference
+    utils.py:12-32 forwards the config's norm_type): scale every grad by
+    min(1, max_norm / (global_pnorm + 1e-6))."""
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        norm = global_pnorm(updates, p)
+        scale = jnp.minimum(1.0, max_norm / (norm + 1e-6))
+        return jax.tree.map(lambda g: g * scale.astype(g.dtype), updates), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     lr: float = 1e-2,
     total_steps: int | None = None,
@@ -58,7 +90,16 @@ def make_optimizer(
     if grad_clip and grad_clip.get("enabled", False):
         clip_type = grad_clip.get("clip_type", "norm")
         if clip_type == "norm":
-            clip = optax.clip_by_global_norm(float(grad_clip.get("max_norm", 1.0)))
+            max_norm = float(grad_clip.get("max_norm", 1.0))
+            norm_type = float(grad_clip.get("norm_type", 2.0))
+            if norm_type == 2.0:
+                clip = optax.clip_by_global_norm(max_norm)
+            else:
+                # reference utils.py:12-32 forwards norm_type to
+                # torch.nn.utils.clip_grad_norm_: global p-norm over all
+                # grads, scale by max_norm/(norm + 1e-6) when norm
+                # exceeds max_norm
+                clip = clip_by_global_pnorm(max_norm, norm_type)
         elif clip_type == "value":
             clip = optax.clip(float(grad_clip.get("clip_value", 1.0)))
         else:
