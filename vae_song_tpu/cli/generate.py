@@ -43,9 +43,26 @@ def _sample_input_for(model):
     return np.zeros((2, model.input_dim, model.input_dim, model.in_channel), np.float32)
 
 
-def generate_samples(model, state, n_samples, batch_size=32, seed=0):
-    """Batched z ~ N(0, I) -> decode (test.py:113-140)."""
-    _, decode_fn, _ = make_apply_fns(model)
+def generate_samples(model, state, n_samples, batch_size=32, seed=0,
+                     quant=None):
+    """Batched z ~ N(0, I) -> decode (test.py:113-140).
+
+    quant="int8" serves the dense layers from per-channel int8 weights
+    (serving/quant.py — the MXU's double-rate int8 path; beyond the
+    reference, which has no quantization story)."""
+    if quant == "int8":
+        from vae_song_tpu.serving import (
+            make_quantized_decode,
+            quantize_dense_params,
+        )
+
+        table = quantize_dense_params(state.params)
+        decode_q = make_quantized_decode(model, state.batch_stats)
+        decode_fn = lambda st, z: decode_q(table, st.params, z)
+    elif quant not in (None, "none"):
+        raise ValueError(f"unknown quant mode {quant!r}")
+    else:
+        _, decode_fn, _ = make_apply_fns(model)
     key = jax.random.PRNGKey(seed)
     samples = []
     for i in range(0, n_samples, batch_size):
@@ -69,6 +86,10 @@ def main(argv=None):
                         help="reference-compat flag (test.py:147): "
                              "'cpu' forces the CPU backend; 'tpu'/'cuda' "
                              "(or unset) use the default accelerator")
+    parser.add_argument("--quant", type=str, default="none",
+                        choices=["none", "int8"],
+                        help="serve dense layers from int8 weights "
+                             "(serving/quant.py; decode-only PTQ)")
     args = parser.parse_args(argv)
 
     if args.device == "cpu":
@@ -92,7 +113,9 @@ def main(argv=None):
     output_dir = os.path.join(os.path.dirname(args.param_dir), "gen_samples")
     os.makedirs(output_dir, exist_ok=True)
 
-    samples = generate_samples(model, state, args.n_samples, args.batch_size, args.seed)
+    samples = generate_samples(model, state, args.n_samples,
+                               args.batch_size, args.seed,
+                               quant=args.quant)
 
     if getattr(model, "data_type", None) == "set":
         print(f"Saving point cloud samples to: {output_dir}")
