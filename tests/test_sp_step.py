@@ -273,3 +273,38 @@ def test_ring_attention_gradients_match_full_attention():
     for a, b in zip(g_full, g_ring):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_sp_local_kv_length_one_still_attends_globally():
+    """Regression: with n_seq == num_points each device's LOCAL kv shard
+    is length 1. The kv==1 value-broadcast shortcut in
+    MultiHeadAttention must NOT fire under seq_axis (it would skip the
+    cross-shard all-gather and attend to nothing but the local point) —
+    the SP eval metrics must still match the single-device step."""
+    model = SetVAE(latent_channel=4, num_points=8, d_model=16,
+                   num_heads=2, num_encoder_layers=1,
+                   num_decoder_layers=1, ff_dim=16, beta=0.1)
+    x = _clouds(b=2, n=8)
+    params, bs = init_model(model, x, seed=0)
+    tx = make_optimizer(lr=1e-3)
+    state = TrainState.create(params, bs, tx)
+
+    from vae_song_tpu.train.steps import make_eval_step
+
+    ref = make_eval_step(model)(state, jnp.asarray(x), jnp.float32(1.0),
+                                jax.random.fold_in(jax.random.PRNGKey(3), 0))
+
+    mesh = make_sp_mesh(n_data=1, n_seq=8)
+    state_sp = jax.device_put(
+        TrainState.create(params, bs, tx),
+        jax.sharding.NamedSharding(mesh, P()),
+    )
+    xs = shard_points(jnp.asarray(x), mesh)
+    got = make_sp_eval_step(model, mesh)(
+        state_sp, xs, jnp.float32(1.0), jax.random.PRNGKey(3)
+    )
+    for k in ("loss", "recon", "reg"):
+        np.testing.assert_allclose(
+            float(got[k]), float(ref[k]), rtol=2e-3, atol=1e-5,
+            err_msg=k,
+        )

@@ -285,7 +285,12 @@ class MultiHeadAttention(nn.Module):
 
         b, n_q = inputs_q.shape[0], inputs_q.shape[1]
         n_kv = inputs_kv.shape[1]
-        if n_kv == 1 and not (self.dropout_rate > 0.0 and train):
+        if (n_kv == 1 and self.seq_axis is None
+                and not (self.dropout_rate > 0.0 and train)):
+            # seq_axis must be None: under sequence parallelism n_kv is
+            # the LOCAL shard length — a 1-point-per-shard config would
+            # otherwise skip the cross-shard all-gather/ring entirely
+            # and silently attend to nothing but the local point.
             # (torch drops attention WEIGHTS — at kv length 1 that
             # zeroes whole rows — so a training dropout config falls
             # through to the materialized-scores branch below)

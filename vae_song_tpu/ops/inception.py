@@ -28,6 +28,7 @@ own functional ops in tests/test_inception.py; the weight-loading
 contract is tested with a shape-correct synthetic checkpoint.
 """
 
+import functools
 import os
 
 import numpy as np
@@ -274,15 +275,19 @@ def _forward(params, x):
     return x.mean(axis=(1, 2))  # global average pool -> [B, 2048]
 
 
-def _jit_forward(box, x):
-    import functools
+@functools.lru_cache(maxsize=4)
+def _compiled_forward(box):
+    """One jitted executable per loaded checkpoint (_ParamsBox keys by
+    param identity). Module-scope cache: defining it inside
+    _jit_forward would rebuild the jit wrapper per call and retrace
+    the full pool3 graph for every feature batch."""
     import jax
 
-    @functools.lru_cache(maxsize=4)
-    def compiled(b):
-        return jax.jit(lambda img: _forward(b.params, img))
+    return jax.jit(lambda img: _forward(box.params, img))
 
-    return compiled(box)(x)
+
+def _jit_forward(box, x):
+    return _compiled_forward(box)(x)
 
 
 # ---- synthetic checkpoint for tests ---------------------------------
