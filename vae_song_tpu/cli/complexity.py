@@ -44,7 +44,10 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     np_rng = np.random.default_rng(seed)
     params, batch_stats = init_model(model, train_ds.X[:batch_size], seed=seed, L=num_mc_samples)
     steps_per_epoch = len(train_ds) // batch_size
-    tx = make_optimizer(lr=1e-2, total_steps=epochs * steps_per_epoch, grad_clip=grad_clip)
+    # max(1, ...): epochs=0 must not feed cosine_decay a 0-step horizon
+    # (0/0 -> NaN lr in the warmup step)
+    tx = make_optimizer(lr=1e-2, total_steps=max(1, epochs * steps_per_epoch),
+                        grad_clip=grad_clip)
     state = TrainState.create(params, batch_stats, tx)
     train_step = make_train_step(model, tx, L=num_mc_samples)
     eval_step = make_eval_step(model)
@@ -59,9 +62,19 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     # step donates its input state; timings close with a scalar fetch
     # (block_until_ready returns early on chained work here).
     rng, warm_key = jax.random.split(rng)
-    x0 = jnp.asarray(train_ds.X[:batch_size])
+    if augment is not None:
+        # the augmentation is its own jitted program — warm it too, or
+        # the timed loop's first iterate_batches call compiles it
+        # inside the measured region (a ~60-120 s remote compile)
+        x0 = next(iter(iterate_batches(
+            train_ds, batch_size, rng=np.random.default_rng(seed),
+            augment=augment, augment_key=warm_key,
+        )))[0]
+        _ = float(jnp.asarray(x0).astype(jnp.float32).sum())
+    else:
+        x0 = jnp.asarray(train_ds.X[:batch_size])
     _wstate, _wm = train_step(
-        jax.tree.map(jnp.array, state), x0, one, warm_key
+        jax.tree.map(jnp.array, state), jnp.asarray(x0), one, warm_key
     )
     _ = float(_wm["loss"])
     del _wstate
@@ -70,6 +83,7 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
 
     mem0 = get_memory_usage_mb()
     t0 = time.time()
+    m = _wm  # epochs=0 (compile+eval-only invocation): no timed steps
     for epoch in range(epochs):
         rng, ep_key, aug_key = jax.random.split(rng, 3)
         step_keys = jax.random.split(ep_key, steps_per_epoch)
@@ -98,13 +112,17 @@ def train_one_model(model, train_ds, test_ds, augment, epochs, batch_size,
     totals, n = None, 0
     for _trial in range(max(1, eval_trials)):
         t1 = time.time()
-        acc, n = None, 0
+        # metric dicts stay on device, fetched once per trial — the
+        # shipped eval loop's relay-latency pattern (train/loop.py)
+        ms, n = [], 0
         for i, (x, _y) in enumerate(iterate_batches(test_ds, batch_size, shuffle=False, rng=np_rng)):
-            m = eval_step(state, x, one, ev_keys[i])
-            acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
+            ms.append(eval_step(state, x, one, ev_keys[i]))
             n += 1
-        totals = {k: float(v) for k, v in jax.device_get(acc).items()} if acc else {
-            "loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
+        if ms:
+            ms_host = jax.device_get(ms)
+            totals = {k: float(sum(m[k] for m in ms_host)) for k in ms_host[0]}
+        else:
+            totals = {"loss": 0.0, "recon": 0.0, "reg": 0.0, "lr": 0.0}
         eval_time = min(eval_time, time.time() - t1)
     eval_mem = max(0.0, get_memory_usage_mb() - mem0)
     eval_dev = get_device_memory_usage_mb()

@@ -93,8 +93,12 @@ def train_model(model, train_ds, args, grad_clip_cfg, experiment_logger=None,
     else:
         alphas = jnp.zeros((args.epochs,), jnp.float32)
     if experiment_logger and alphas is not None and hasattr(model, "alpha"):
+        # ONE device->host transfer, then log from the host array:
+        # float(alphas[e]) per epoch is a relay roundtrip each
+        # (~10-20 ms x 1000 epochs of pure logging)
+        alphas_host = np.asarray(alphas)
         for e in range(args.epochs):
-            experiment_logger.log_alpha_value(e, float(alphas[e]))
+            experiment_logger.log_alpha_value(e, float(alphas_host[e]))
 
     fit = make_scanned_trainer(
         model, tx, args.batch_size, args.epochs,

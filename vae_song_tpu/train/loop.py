@@ -319,6 +319,18 @@ def train_and_test(
             or getattr(m, "decoder_type", "mlp") == "conv"
         )
 
+    if data_parallel and jax.device_count() == 1:
+        # silently training single-device while the user believes they
+        # benchmarked DP would be worse than a loud downgrade (the same
+        # rule as the sequence-parallel ring guard); normalizing the
+        # flag here keeps the scan/multistep dispatch paths available
+        print(
+            "WARNING: data_parallel requested but only 1 device is "
+            "visible; training single-device",
+            flush=True,
+        )
+        data_parallel = False
+
     use_scan = (
         not data_parallel
         and not fsdp
@@ -327,6 +339,10 @@ def train_and_test(
         and not _model_uses_conv(model)
         and getattr(model, "data_type", None) != "set"
         and train_ds.X.nbytes < 512 * 1024 * 1024
+        # gen-only mode / fully-resumed runs must not pay the dataset
+        # upload for a loop that never executes (same guard as
+        # multistep_eligible's epochs test)
+        and epochs > start_epoch
     )
 
     pp_sync = None
@@ -607,7 +623,7 @@ def train_and_test(
             return _fsdp_eval(
                 state, jax.device_put(x, fsdp_x_sharding), wu, key
             )
-    elif data_parallel and jax.device_count() > 1:
+    elif data_parallel:
         from vae_song_tpu.parallel import (
             make_mesh, replicate_state, make_dp_train_step, make_dp_eval_step,
             shard_batch,
@@ -866,19 +882,21 @@ def train_and_test(
                 last_eval_batch = (jnp.asarray(test_ds.X[sel]), test_ds.y[sel])
         else:
             ev_keys = jax.random.split(ev_key, max(n_test_batches, 1))
-            ev_acc = None
+            # keep per-batch metric dicts on device and fetch ONCE —
+            # the same relay-latency rule as the train loop above
+            # (per-batch accumulating adds are extra dispatched ops)
+            ev_ms = []
             n_eval = 0
             for i, (x, yb) in enumerate(
                 iterate_batches(test_ds, batch_size, shuffle=(data_type == "1d"), rng=ep_np_rng)
             ):
-                m = eval_step(state, x, wu_dev, ev_keys[i])
-                ev_acc = m if ev_acc is None else jax.tree.map(jnp.add, ev_acc, m)
+                ev_ms.append(eval_step(state, x, wu_dev, ev_keys[i]))
                 n_eval += 1
                 last_eval_batch = (x, yb)
-            if ev_acc is not None:
-                ev_host = jax.device_get(ev_acc)
+            if ev_ms:
+                ev_host = jax.device_get(ev_ms)
                 for k in ev:
-                    ev[k] += float(ev_host[k])
+                    ev[k] += float(sum(m[k] for m in ev_host))
             eval_means = {k: v / max(n_eval, 1) for k, v in ev.items()}
         writer.add_scalar("loss/test", eval_means["loss"], epoch)
 
