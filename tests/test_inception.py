@@ -100,3 +100,190 @@ def test_default_extractor_env_hook(fake_weights, monkeypatch):
     monkeypatch.setenv("VST_FID_WEIGHTS", fake_weights + ".missing")
     with pytest.raises(FileNotFoundError):
         fid_lib.default_extractor((28, 28, 1))
+
+
+# ---- per-block golden tests (VERDICT r3 #6) --------------------------
+#
+# The component ops above can't see a WIRING slip inside a Mixed block
+# (concat order, a wrong stride/padding on one branch). Each test below
+# pushes a fixed input through one JAX block function with randomized
+# synthetic weights and checks it against an INDEPENDENT torch
+# composition of the same published torchvision block (pytorch_fid
+# pooling variant: count_include_pad=False in-block average pools).
+# The torch side is written branch by branch from the torchvision
+# forward order — any misrouted branch or swapped concat changes the
+# values because every conv weight and BN stat is random.
+
+def _randomized_sd():
+    """synthetic_state_dict with random BN stats so the inference-BN
+    folding (_bc) is exercised, not just the convs."""
+    rng = np.random.default_rng(7)
+    sd = synthetic_state_dict()
+    for k in list(sd):
+        if ".bn.running_var" in k or k.endswith(".bn.weight"):
+            sd[k] = rng.uniform(0.5, 1.5, sd[k].shape).astype(np.float32)
+        elif ".bn." in k:
+            sd[k] = rng.normal(scale=0.1, size=sd[k].shape).astype(np.float32)
+    return sd
+
+
+def _torch_bc(x, sd, prefix, stride=1, padding=0):
+    import torch
+    import torch.nn.functional as F
+
+    y = F.conv2d(x, torch.from_numpy(sd[f"{prefix}.conv.weight"]),
+                 stride=stride, padding=padding)
+    y = F.batch_norm(
+        y,
+        torch.from_numpy(sd[f"{prefix}.bn.running_mean"]),
+        torch.from_numpy(sd[f"{prefix}.bn.running_var"]),
+        torch.from_numpy(sd[f"{prefix}.bn.weight"]),
+        torch.from_numpy(sd[f"{prefix}.bn.bias"]),
+        training=False, eps=1e-3,
+    )
+    return F.relu(y)
+
+
+def _block_case(block_name, cin, torch_fn):
+    """Run ops/inception's block fn vs the independent torch block."""
+    torch = pytest.importorskip("torch")
+    from vae_song_tpu.ops import inception as inc
+
+    sd = _randomized_sd()
+    params = {c: None for c in inc._BLOCK_CONVS[block_name]}
+    ex = object.__new__(InceptionV3Features)   # skip file loading
+    for c in params:
+        params[c] = ex._bc(sd, f"{block_name}.{c}")
+    x = np.random.default_rng(11).normal(
+        size=(2, 12, 12, cin)).astype(np.float32)
+    got = np.asarray(inc._BLOCK_FNS[block_name](x, params))
+    xt = torch.from_numpy(x).permute(0, 3, 1, 2)
+    want = torch_fn(xt, sd, block_name).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_block_a_golden():
+    import torch
+    import torch.nn.functional as F
+
+    def fn(x, sd, n):
+        b1 = _torch_bc(x, sd, f"{n}.branch1x1")
+        b5 = _torch_bc(_torch_bc(x, sd, f"{n}.branch5x5_1"),
+                       sd, f"{n}.branch5x5_2", padding=2)
+        bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
+        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
+        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_3", padding=1)
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1,
+                          count_include_pad=False)
+        bp = _torch_bc(bp, sd, f"{n}.branch_pool")
+        return torch.cat([b1, b5, bd, bp], 1)
+
+    _block_case("Mixed_5b", 192, fn)
+
+
+def test_block_b_golden():
+    import torch
+    import torch.nn.functional as F
+
+    def fn(x, sd, n):
+        b3 = _torch_bc(x, sd, f"{n}.branch3x3", stride=2)
+        bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
+        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
+        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_3", stride=2)
+        bp = F.max_pool2d(x, 3, stride=2)
+        return torch.cat([b3, bd, bp], 1)
+
+    _block_case("Mixed_6a", 288, fn)
+
+
+def test_block_c_golden():
+    import torch
+    import torch.nn.functional as F
+
+    def fn(x, sd, n):
+        b1 = _torch_bc(x, sd, f"{n}.branch1x1")
+        b7 = _torch_bc(x, sd, f"{n}.branch7x7_1")
+        b7 = _torch_bc(b7, sd, f"{n}.branch7x7_2", padding=(0, 3))
+        b7 = _torch_bc(b7, sd, f"{n}.branch7x7_3", padding=(3, 0))
+        bd = _torch_bc(x, sd, f"{n}.branch7x7dbl_1")
+        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_2", padding=(3, 0))
+        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_3", padding=(0, 3))
+        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_4", padding=(3, 0))
+        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_5", padding=(0, 3))
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1,
+                          count_include_pad=False)
+        bp = _torch_bc(bp, sd, f"{n}.branch_pool")
+        return torch.cat([b1, b7, bd, bp], 1)
+
+    _block_case("Mixed_6b", 768, fn)
+
+
+def test_block_d_golden():
+    import torch
+    import torch.nn.functional as F
+
+    def fn(x, sd, n):
+        b3 = _torch_bc(x, sd, f"{n}.branch3x3_1")
+        b3 = _torch_bc(b3, sd, f"{n}.branch3x3_2", stride=2)
+        b7 = _torch_bc(x, sd, f"{n}.branch7x7x3_1")
+        b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_2", padding=(0, 3))
+        b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_3", padding=(3, 0))
+        b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_4", stride=2)
+        bp = F.max_pool2d(x, 3, stride=2)
+        return torch.cat([b3, b7, bp], 1)
+
+    _block_case("Mixed_7a", 768, fn)
+
+
+def test_block_e_golden():
+    import torch
+    import torch.nn.functional as F
+
+    def fn(x, sd, n):
+        b1 = _torch_bc(x, sd, f"{n}.branch1x1")
+        b3 = _torch_bc(x, sd, f"{n}.branch3x3_1")
+        b3 = torch.cat([
+            _torch_bc(b3, sd, f"{n}.branch3x3_2a", padding=(0, 1)),
+            _torch_bc(b3, sd, f"{n}.branch3x3_2b", padding=(1, 0)),
+        ], 1)
+        bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
+        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
+        bd = torch.cat([
+            _torch_bc(bd, sd, f"{n}.branch3x3dbl_3a", padding=(0, 1)),
+            _torch_bc(bd, sd, f"{n}.branch3x3dbl_3b", padding=(1, 0)),
+        ], 1)
+        bp = F.avg_pool2d(x, 3, stride=1, padding=1,
+                          count_include_pad=False)
+        bp = _torch_bc(bp, sd, f"{n}.branch_pool")
+        return torch.cat([b1, b3, bd, bp], 1)
+
+    _block_case("Mixed_7b", 1280, fn)
+
+
+def test_stem_golden():
+    """Conv2d_1a..4a + the two stem max-pools against the independent
+    torch composition — the pre-Mixed wiring (strides/VALID pads)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from vae_song_tpu.ops import inception as inc
+
+    sd = _randomized_sd()
+    ex = object.__new__(InceptionV3Features)
+    x = np.random.default_rng(13).normal(size=(1, 75, 75, 3)).astype(np.float32)
+    y = inc._conv(x, ex._bc(sd, "Conv2d_1a_3x3"), stride=2)
+    y = inc._conv(y, ex._bc(sd, "Conv2d_2a_3x3"))
+    y = inc._conv(y, ex._bc(sd, "Conv2d_2b_3x3"), padding=((1, 1), (1, 1)))
+    y = inc._max_pool_3x3_s2(y)
+    y = inc._conv(y, ex._bc(sd, "Conv2d_3b_1x1"))
+    y = inc._conv(y, ex._bc(sd, "Conv2d_4a_3x3"))
+    got = np.asarray(inc._max_pool_3x3_s2(y))
+
+    t = torch.from_numpy(x).permute(0, 3, 1, 2)
+    t = _torch_bc(t, sd, "Conv2d_1a_3x3", stride=2)
+    t = _torch_bc(t, sd, "Conv2d_2a_3x3")
+    t = _torch_bc(t, sd, "Conv2d_2b_3x3", padding=1)
+    t = F.max_pool2d(t, 3, stride=2)
+    t = _torch_bc(t, sd, "Conv2d_3b_1x1")
+    t = _torch_bc(t, sd, "Conv2d_4a_3x3")
+    want = F.max_pool2d(t, 3, stride=2).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
