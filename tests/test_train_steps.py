@@ -396,3 +396,73 @@ def test_shardmap_clip_pnorm_matches_single_device():
                                    np.asarray(want["sharded"]), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(out["repl"]),
                                    np.asarray(want["repl"]), rtol=1e-5)
+
+
+def test_fast_eval_paths_match_dispatched_eval(key):
+    """The round-4 single-dispatch eval paths (make_scanned_eval_epoch
+    for set models, make_unrolled_eval_chunk for conv) must reproduce
+    the legacy per-batch make_eval_step loop exactly: same sequential
+    drop_last batch composition, same per-batch key split
+    (train/loop.py eval section), metrics equal to float noise."""
+    from vae_song_tpu.models import SetVAE
+    from vae_song_tpu.train.steps import (
+        make_eval_step,
+        make_scanned_eval_epoch,
+        make_unrolled_eval_chunk,
+    )
+
+    rng = np.random.default_rng(0)
+
+    # --- set model: lax.scan whole-epoch path ---
+    m = SetVAE(latent_channel=8, num_points=16, d_model=16, num_heads=2,
+               num_encoder_layers=1, num_decoder_layers=1, ff_dim=32,
+               beta=0.1)
+    nb, B = 3, 4
+    X = rng.normal(size=(nb * B, 16, 3)).astype(np.float32)
+    params, batch_stats = init_model(m, X[:B], seed=0)
+    state = TrainState.create(params, batch_stats,
+                              make_optimizer(lr=1e-3, total_steps=10))
+    wu = jnp.float32(1.0)
+    ev_key = jax.random.fold_in(key, 3)
+    keys = jax.random.split(ev_key, nb)
+
+    eval_step = make_eval_step(m)
+    want = None
+    for i in range(nb):
+        mi = jax.device_get(eval_step(state, X[i * B:(i + 1) * B], wu, keys[i]))
+        want = mi if want is None else {k: want[k] + mi[k] for k in want}
+    want = {k: v / nb for k, v in want.items()}
+
+    stack = jnp.asarray(X.reshape(nb, B, 16, 3))
+    got = jax.device_get(make_scanned_eval_epoch(m)(state, stack, wu, ev_key))
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=2e-5,
+                                   err_msg=f"set scan eval key {k}")
+
+    # --- conv model: K-unrolled chunk path ---
+    mc = VanillaVAE.for_dataset("mnist", encoder_type="conv",
+                                decoder_type="mlp", beta=1.0)
+    nb, B, k_chunk = 4, 4, 2
+    Xc = rng.uniform(size=(nb * B, 28, 28, 1)).astype(np.float32)
+    params, batch_stats = init_model(mc, Xc[:B], seed=0)
+    state = TrainState.create(params, batch_stats,
+                              make_optimizer(lr=1e-3, total_steps=10))
+    keys = jax.random.split(ev_key, nb)
+
+    eval_step = make_eval_step(mc)
+    want = None
+    for i in range(nb):
+        mi = jax.device_get(eval_step(state, Xc[i * B:(i + 1) * B], wu, keys[i]))
+        want = mi if want is None else {k: want[k] + mi[k] for k in want}
+    want = {k: v / nb for k, v in want.items()}
+
+    stack = jnp.asarray(Xc.reshape(nb, B, 28, 28, 1))
+    chunk = make_unrolled_eval_chunk(mc, k_chunk)
+    ch = jax.device_get([
+        chunk(state, stack[c:c + k_chunk], wu, keys[c:c + k_chunk])
+        for c in range(0, nb, k_chunk)
+    ])
+    got = {k: sum(float(c[k]) for c in ch) / len(ch) for k in ch[0]}
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=2e-5,
+                                   err_msg=f"conv chunk eval key {k}")

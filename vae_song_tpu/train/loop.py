@@ -661,14 +661,15 @@ def train_and_test(
     multi_step = None
     multi_k = 1
     is_set = getattr(model, "data_type", None) == "set"
-    if multistep_eligible(
+    ms_eligible = multistep_eligible(
         epochs=epochs, start_epoch=start_epoch,
         data_parallel=data_parallel, pipeline_parallel=pipeline_parallel,
         expert_parallel=expert_parallel, tensor_parallel=tensor_parallel,
         sequence_parallel=sequence_parallel, fsdp=fsdp,
         grad_accum=grad_accum, use_scan=use_scan,
         dataset_nbytes=train_ds.X.nbytes, native_prefetch=native_prefetch,
-    ):
+    )
+    if ms_eligible:
         from vae_song_tpu.train.steps import pick_multistep_k
 
         multi_k = pick_multistep_k(steps_per_epoch, is_set)
@@ -730,6 +731,49 @@ def train_and_test(
 
             _, ms = jax.lax.scan(body, None, (xb, keys))
             return jax.tree.map(lambda v: v.mean(), ms)
+
+    # ---- batched eval for the DISPATCHED families (conv / set) ----
+    # the dispatched eval loop pays one relay dispatch per test batch
+    # (~39 dispatches/epoch on MNIST = ~0.6 s of pure relay tax); when
+    # the single-device multistep path is active the test set is small
+    # enough to live on device, so eval the whole epoch in one scan
+    # dispatch (set models) or nb/K unrolled-chunk dispatches (conv —
+    # conv-in-scan is ~20x slower, train/scan.py note). 1d MLP models
+    # already take the use_scan eval above; their dispatched fallback
+    # shuffles eval batches, so they are excluded here to keep batch
+    # composition identical to the legacy path.
+    fast_eval_scan = None
+    fast_eval_chunk = None
+    fast_eval_k = 1
+    test_X_stack = None
+    if (
+        eval_epoch_fit is None
+        and ms_eligible
+        and data_type != "1d"
+        and test_ds.X.nbytes < 512 * 1024 * 1024
+    ):
+        nb_test = num_batches(test_ds, batch_size)
+        if nb_test > 0:
+            from vae_song_tpu.train.steps import (
+                make_scanned_eval_epoch,
+                make_unrolled_eval_chunk,
+                pick_multistep_k as _pick_k,
+            )
+
+            if is_set:
+                fast_eval_scan = make_scanned_eval_epoch(model)
+            else:
+                fast_eval_k = _pick_k(nb_test, False)
+                if fast_eval_k > 1:
+                    fast_eval_chunk = make_unrolled_eval_chunk(
+                        model, fast_eval_k
+                    )
+            if fast_eval_scan is not None or fast_eval_chunk is not None:
+                test_X_stack = jnp.asarray(
+                    test_ds.X[: nb_test * batch_size].reshape(
+                        nb_test, batch_size, *test_ds.X.shape[1:]
+                    )
+                )
     encode_fn, decode_fn, forward_fn = make_apply_fns(model)
 
     has_warmup = hasattr(model, "alpha") and type(model).__name__.startswith(("LR", "SetLR"))
@@ -880,6 +924,36 @@ def train_and_test(
             if last_epoch:
                 sel = ep_np_rng.permutation(len(test_ds))[:batch_size]
                 last_eval_batch = (jnp.asarray(test_ds.X[sel]), test_ds.y[sel])
+        elif test_X_stack is not None:
+            nb = test_X_stack.shape[0]
+            ev_keys = jax.random.split(ev_key, nb)
+            if fast_eval_scan is not None:
+                em = jax.device_get(
+                    fast_eval_scan(state, test_X_stack, wu_dev, ev_key)
+                )
+            else:
+                # conv: nb/K unrolled-chunk dispatches, fetched once
+                chunks = [
+                    fast_eval_chunk(
+                        state,
+                        test_X_stack[c : c + fast_eval_k],
+                        wu_dev,
+                        ev_keys[c : c + fast_eval_k],
+                    )
+                    for c in range(0, nb, fast_eval_k)
+                ]
+                ch = jax.device_get(chunks)
+                em = {
+                    k: sum(float(c[k]) for c in ch) / len(ch) for k in ch[0]
+                }
+            eval_means = {k: float(v) for k, v in em.items()}
+            if last_epoch:
+                y_tail = (
+                    test_ds.y[(nb - 1) * batch_size : nb * batch_size]
+                    if getattr(test_ds, "y", None) is not None
+                    else None
+                )
+                last_eval_batch = (test_X_stack[-1], y_tail)
         else:
             ev_keys = jax.random.split(ev_key, max(n_test_batches, 1))
             # keep per-batch metric dicts on device and fetch ONCE —

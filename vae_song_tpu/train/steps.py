@@ -347,6 +347,68 @@ def make_eval_step(model, L: int = 1) -> Callable:
     return eval_step
 
 
+def make_scanned_eval_epoch(model) -> Callable:
+    """Whole-eval-epoch-in-one-dispatch for SET models: lax.scan over a
+    device-resident [nb, B, N, 3] test batch stack. Per-epoch eval paid
+    one relay dispatch per test batch before (train/loop.py eval loop —
+    ~0.6 s/epoch of pure relay tax at MNIST scale); this is the same
+    amortization the scanned trainer already does for training. Set
+    models carry no conv-in-scan penalty (train/scan.py note), so scan
+    is the right body here; conv models take the unrolled chunk below.
+    Metric semantics match the dispatched loop exactly: per-batch mean
+    loss dicts, averaged over the nb full (drop_last) batches, with the
+    identical per-batch key split (main.py:91-172 accumulation)."""
+
+    def body(state, wu_alpha, x, k):
+        outs = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x,
+            train=False,
+            rngs={"sampling": k},
+        )
+        total, rec, reg_s, lr_s = model.loss(x, *outs, wu_alpha=wu_alpha)
+        return {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+
+    @jax.jit
+    def eval_epoch(state: TrainState, xb, wu_alpha, rng):
+        keys = jax.random.split(rng, xb.shape[0])
+        _, ms = jax.lax.scan(
+            lambda _c, inp: (None, body(state, wu_alpha, *inp)),
+            None,
+            (xb, keys),
+        )
+        return jax.tree.map(lambda v: v.mean(), ms)
+
+    return eval_epoch
+
+
+def make_unrolled_eval_chunk(model, k: int) -> Callable:
+    """K eval batches per dispatch for CONV models, statically unrolled
+    (conv inside lax.scan is ~20x slower on TPU — train/scan.py note;
+    the same reason make_multistep_train_step unrolls). Takes a
+    [K, B, ...] slice of the device-resident test stack plus its K keys
+    and returns the mean metric dict over the K batches."""
+
+    @jax.jit
+    def eval_chunk(state: TrainState, xb, wu_alpha, keys):
+        acc = None
+        for i in range(k):
+            outs = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                xb[i],
+                train=False,
+                rngs={"sampling": keys[i]},
+            )
+            total, rec, reg_s, lr_s = model.loss(
+                xb[i], *outs, wu_alpha=wu_alpha
+            )
+            m = {"loss": total, "recon": rec, "reg": reg_s, "lr": lr_s}
+            acc = m if acc is None else jax.tree.map(jnp.add, acc, m)
+        return jax.tree.map(lambda v: v / k, acc)
+
+    return eval_chunk
+
+
 def make_apply_fns(model):
     """Jitted encode / decode / forward for analysis & generation."""
 
