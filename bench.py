@@ -301,11 +301,20 @@ def measure_generation():
     results = {}
     tx = make_optimizer(lr=1e-3)
 
+    # batches decoded per dispatch: one relay dispatch costs ~10-20 ms
+    # on this tunneled backend — at ~5 ms/batch device time a
+    # per-batch dispatch loop measures the RELAY, not the decoder
+    # (generation readings swung 227k -> 143k samples/sec with relay
+    # weather in round 4). Unrolling CHUNK decodes per jitted call is
+    # the same program a throughput-serving deployment runs: keys are
+    # precomputed, outputs reduced on device, fetched once.
+    CHUNK = 8
+
     def time_decode(model, x_init, bs, z_dim, tag):
         params, bstats = init_model(model, x_init, seed=0)
         state = TrainState.create(params, bstats, tx)
 
-        def sample_and_decode(state, key):
+        def decode_one(state, key):
             z = jax.random.normal(key, (bs, z_dim))
             out = model.apply(
                 {"params": state.params, "batch_stats": state.batch_stats},
@@ -313,21 +322,29 @@ def measure_generation():
             )
             return out.astype(jnp.float32).sum()
 
-        keys = jax.random.split(jax.random.PRNGKey(7), 64)
+        def decode_chunk(state, keys):     # [CHUNK, 2] keys, unrolled
+            s = jnp.float32(0.0)
+            for i in range(CHUNK):
+                s = s + decode_one(state, keys[i])
+            return s
+
+        keys = jax.random.split(jax.random.PRNGKey(7), 64 * CHUNK)
+        kchunks = keys.reshape(64, CHUNK, -1)
         t0 = time.time()
-        compiled, _ = _aot(jax.jit(sample_and_decode), state, keys[0])
-        _ = float(compiled(state, keys[0]))
+        compiled, _ = _aot(jax.jit(decode_chunk), state, kchunks[0])
+        _ = float(compiled(state, kchunks[0]))
         log(f"{tag} decode compile+first: {time.time()-t0:.1f}s")
-        inner, best = 10, float("inf")
+        inner, best = 4, float("inf")
         for trial in range(4):
             t0 = time.time()
             s = None
             for i in range(inner):
-                s = compiled(state, keys[trial * inner + i])
+                s = compiled(state, kchunks[trial * inner + i])
             _ = float(s)
-            best = min(best, (time.time() - t0) / inner)
+            best = min(best, (time.time() - t0) / (inner * CHUNK))
         sps = bs / best
-        log(f"{tag} generation: {sps:.0f} samples/sec (batch {bs})")
+        log(f"{tag} generation: {sps:.0f} samples/sec "
+            f"(batch {bs}, {CHUNK} batches/dispatch)")
         return sps
 
     conv = VanillaVAE.for_dataset("mnist", encoder_type="conv",

@@ -11,10 +11,14 @@ Two implementations:
     the query axis). Fully autodiff-able; this is the training path.
 
   * `chamfer_distance_pallas` — a Pallas TPU kernel that streams tiles
-    of the predicted cloud through VMEM, computing both directional
-    minima and argminima in one pass, with a custom VJP that routes
+    of the predicted cloud through VMEM, computing each side's minimum
+    AND argminimum as ONE packed int32 reduction (index in the low 11
+    mantissa bits; see _chamfer_kernel), with a custom VJP that routes
     gradients through the saved argmin indices (O(B*N) backward).
-    Falls back to the XLA path off-TPU or for awkward shapes.
+    The reported loss value is truncated by <= 2^-12 relative (the
+    gradient is unaffected — it flows through the indices). Falls back
+    to the XLA path off-TPU, for awkward shapes, or for clouds larger
+    than MAX_PACKED_N points.
 """
 
 import functools
@@ -78,48 +82,80 @@ def chamfer_distance(points_pred, points_gt, tile: int = 512):
 
 _BB = 8  # batch rows per block (TPU sublane granularity)
 
+# PACKED min+argmin: d2 >= 0 (direct squared differences), so its f32
+# bit pattern int32-orders exactly like the value; the low 11 mantissa
+# bits carry the candidate index (Np, Ng <= 2048 == MAX_PACKED_N) and
+# ONE int32 min per side replaces the separate min + argmin reduction
+# passes (round-4 ablation, scripts/ab_chamfer_packed.py: fwd 4.93 ->
+# 3.88 ms at B=64/N=2048/T=512). The index is EXACT; the min value is
+# truncated by <= 2^-12 relative — it only reaches the REPORTED loss
+# (the custom VJP routes gradients through the indices, never the
+# values). At near-ties (two d2 equal in their top 21 bits) the packed
+# min picks the lower index — the same arbitrary-but-valid subgradient
+# choice torch's first-argmin makes at exact ties; measured 8.8e-5 of
+# rows at random B=64/N=2048 clouds, with the routed distance within
+# 2e-4 relative of the true min.
+MAX_PACKED_N = 2048
+_IDX_BITS = 0x7FF          # low 11 bits carry the index
+_VAL_MASK = ~0x7FF         # top 21 bits keep the (truncated) value
 
-def _chamfer_kernel(pred_ref, gt_ref, minp_ref, argp_ref, ming_ref, argg_ref):
+
+def _chamfer_kernel(pred_ref, gt_ref, minp_ref, argp_ref, ming_ref,
+                    argg_ref, kg_acc, *, nblocks):
     """Grid (B//8, Np//T). Each step handles 8 batch rows x one pred
     tile against the full gt cloud; the [8, T, Ng] distance block lives
-    only in VMEM. gt-side minima accumulate across pred tiles (TPU grid
-    steps run sequentially, so read-modify-write is safe)."""
+    only in VMEM. gt-side packed keys accumulate across pred tiles in
+    int32 scratch (TPU grid steps run sequentially, so the
+    read-modify-write is safe) and unpack once at the last tile."""
     import jax.experimental.pallas as pl
 
     pred = pred_ref[:]  # [8, T, 3]
     gt = gt_ref[:]      # [8, Ng, 3]
-    t = pred.shape[1]
+    bb, t, _ = pred.shape
+    ng = gt.shape[1]
+    j = pl.program_id(1)
 
     # DIRECT squared distances: sum_c (pred_c - gt_c)^2 as broadcast
     # VPU ops. Faster than the K=3 inner-product expansion (a
     # HIGHEST-precision f32 matmul decomposes into multiple MXU passes
     # at 2% utilization: measured 5.8 -> 5.0 ms fwd at B=64/N=2048),
-    # numerically EXACT (no p^2+g^2-2pg cancellation), so no clamp.
+    # numerically EXACT (no p^2+g^2-2pg cancellation), so no clamp —
+    # and >= 0, which the packed int ordering relies on.
     d2 = None
     for c in range(3):
         diff = pred[:, :, c][:, :, None] - gt[:, :, c][:, None, :]
         d2 = diff * diff if d2 is None else d2 + diff * diff
 
-    # pred-side: min over gt axis
-    minp_ref[:] = d2.min(axis=2)
-    argp_ref[:] = jnp.argmin(d2, axis=2).astype(jnp.int32)
+    bits = lax.bitcast_convert_type(d2, jnp.int32)
+    vbits = lax.bitwise_and(bits, jnp.int32(_VAL_MASK))
 
-    # gt-side: accumulate min over pred tiles
-    j = pl.program_id(1)
-    local_min = d2.min(axis=1)                               # [8, Ng]
-    local_arg = (jnp.argmin(d2, axis=1) + j * t).astype(jnp.int32)
+    # pred-side: one packed int min over the gt (lane) axis
+    iota_g = lax.broadcasted_iota(jnp.int32, (bb, t, ng), 2)
+    kp = lax.bitwise_or(vbits, iota_g).min(axis=2)           # [8, T]
+    argp_ref[:] = lax.bitwise_and(kp, jnp.int32(_IDX_BITS))
+    minp_ref[:] = lax.bitcast_convert_type(
+        lax.bitwise_and(kp, jnp.int32(_VAL_MASK)), jnp.float32
+    )
+
+    # gt-side: GLOBAL pred index, one packed running min across tiles
+    iota_p = lax.broadcasted_iota(jnp.int32, (bb, t, ng), 1) + j * t
+    kg_local = lax.bitwise_or(vbits, iota_p).min(axis=1)     # [8, Ng]
 
     @pl.when(j == 0)
     def _init():
-        ming_ref[:] = local_min
-        argg_ref[:] = local_arg
+        kg_acc[:] = kg_local
 
     @pl.when(j > 0)
     def _acc():
-        prev = ming_ref[:]
-        take_new = local_min < prev
-        ming_ref[:] = jnp.where(take_new, local_min, prev)
-        argg_ref[:] = jnp.where(take_new, local_arg, argg_ref[:])
+        kg_acc[:] = jnp.minimum(kg_acc[:], kg_local)
+
+    @pl.when(j == nblocks - 1)
+    def _emit():
+        kg = kg_acc[:]
+        argg_ref[:] = lax.bitwise_and(kg, jnp.int32(_IDX_BITS))
+        ming_ref[:] = lax.bitcast_convert_type(
+            lax.bitwise_and(kg, jnp.int32(_VAL_MASK)), jnp.float32
+        )
 
 
 def _chamfer_bwd_kernel(pred_ref, gt_ref, argp_ref, argg_ref,
@@ -241,12 +277,13 @@ def _chamfer_bwd_pallas(pred, gt, argp, argg, tile: int, interpret=False):
     return dpred, dgt
 
 
-def _chamfer_pallas_fwd_impl(pred, gt, tile: int):
+def _chamfer_pallas_fwd_impl(pred, gt, tile: int, interpret: bool = False):
     import jax.experimental.pallas as pl
 
     b, np_, _ = pred.shape
     ng = gt.shape[1]
-    grid = (b // _BB, np_ // tile)
+    nblocks = np_ // tile
+    grid = (b // _BB, nblocks)
 
     out_shapes = (
         jax.ShapeDtypeStruct((b, np_), jnp.float32),
@@ -257,7 +294,7 @@ def _chamfer_pallas_fwd_impl(pred, gt, tile: int):
     from jax.experimental.pallas import tpu as pltpu
 
     minp, argp, ming, argg = pl.pallas_call(
-        _chamfer_kernel,
+        functools.partial(_chamfer_kernel, nblocks=nblocks),
         grid=grid,
         in_specs=[
             pl.BlockSpec((_BB, tile, 3), lambda i, j: (i, j, 0)),
@@ -270,9 +307,11 @@ def _chamfer_pallas_fwd_impl(pred, gt, tile: int):
             pl.BlockSpec((_BB, ng), lambda i, j: (i, 0)),
         ),
         out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((_BB, ng), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
+        interpret=interpret,
     )(pred.astype(jnp.float32), gt.astype(jnp.float32))
     return minp, argp, ming, argg
 
@@ -362,7 +401,8 @@ def best_chamfer(points_pred, points_gt):
     on_tpu = jax.default_backend() == "tpu"
     b, np_ = points_pred.shape[0], points_pred.shape[1]
     ng = points_gt.shape[1]
-    if on_tpu and b % _BB == 0 and np_ % 128 == 0 and ng % 128 == 0:
+    if (on_tpu and b % _BB == 0 and np_ % 128 == 0 and ng % 128 == 0
+            and max(np_, ng) <= MAX_PACKED_N):
         # tile: largest of 512/256/128 dividing the pred cloud (512
         # measured fastest at the ShapeNet shapes; 128 keeps odd sizes
         # eligible)

@@ -7,8 +7,8 @@ FULL [N, N] f32 score matrix is 16.8 MB — it fits comfortably in a v5e
 core's VMEM, so a one-shot kernel that materializes scores on-chip
 skips the online-softmax bookkeeping entirely:
 
-  forward  (grid (batch*heads, N/BQ) — query rows blocked at BQ=1024,
-  measured ~4% faster than whole-row and halves peak VMEM):
+  forward  (grid (batch*heads, N/BQ); FWD_BLOCK_Q=2048 == whole row at
+  the set shapes — the round-4 in-step re-sweep, see FWD_BLOCK_Q):
       S2 = (q * scale * log2e) k^T           # scale folded on [N, D]
       P  = exp2(S2 - rowmax(S2));  out = P v / rowsum(P)
       also emits LSE2 = rowmax(S2) + log2(rowsum(P))
@@ -53,16 +53,26 @@ import jax.numpy as jnp
 # = 16.8 MB each; cap where two such buffers + slack stay under ~64 MB
 MAX_DENSE_SEQ = 2048
 
-# query-row block for the forward grid (measured best of 256/512/1024
-# at the set shapes); rows fall back to whole-N when n % BQ != 0
-FWD_BLOCK_Q = 1024
+# query-row block for the forward grid. 1024 was tuned before the
+# base-2/LSE rework; a round-4 in-step re-sweep (same-session A/B,
+# /tmp/setvae_fwdbq.log) measured whole-row 2048 fastest: 52.11 ms/step
+# vs 52.4 (1024) / 52.44 (512) on the bf16 scanned SetVAE step. Rows
+# fall back to whole-N when n % BQ != 0, so 2048 == whole row at the
+# set shapes.
+FWD_BLOCK_Q = 2048
 
 # query-row block for the packed BACKWARD grid: halving the [BQ, N]
 # intermediates gives Mosaic room to double-buffer the five matmuls;
 # dK/dV accumulate across row blocks in f32 VMEM scratch and are
-# written once. Measured at the set shapes (bf16): 11.9 -> 10.6 ms per
-# backward (BQ=1024 beat 512's 10.9 ms); bitwise dq, dk/dv within one
-# bf16 ulp of the whole-row kernel (f32 accumulation reassociates).
+# written once. Round-4 re-sweep with the transposed dK/dV flow:
+# STANDALONE the whole row wins (9.02 vs 9.31 ms at BQ=1024, 9.76 at
+# 512, scripts/ab_attn_ablate5.py) — but IN the scanned train step the
+# ranking inverts (52.34 ms/step at BQ=1024 vs 52.69 at BQ=2048,
+# same-session A/B): the whole-row variant's ~46 MB/head VMEM
+# footprint squeezes XLA's own scheduling around the call. Block
+# choices are decided by the in-step number. A direct-store whole-row
+# variant without the accumulator scratch measured worse still
+# (10.59 ms standalone, ablate6).
 BWD_BLOCK_Q = 1024
 
 LOG2E = 1.4426950408889634
