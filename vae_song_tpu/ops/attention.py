@@ -30,6 +30,46 @@ def _mha_in_proj_init(key, shape, dtype=jnp.float32):
     return jrandom.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+def _fused_qkv_on() -> bool:
+    """Opt-in (VST_FUSED_QKV=1) fused self-attention in-projection: one
+    [d, 3d] matmul instead of three [d, d] Dense calls (torch's own
+    nn.MultiheadAttention fuses the same way via in_proj_weight). The
+    param tree stays three separate query/key/value leaves (checkpoint
+    + log.txt param-count parity); kernels concatenate at apply time.
+
+    Default OFF: measured IN-STEP on v5e at the SetVAE shapes
+    (B=64, N=2048, d=256, bf16 scanned multistep,
+    scripts/ab_step_split_r5.py, round 5) the fusion LOSES ~1.1 ms —
+    52.33 -> 53.41 ms/step at K=32 and 52.20 -> 53.29 at the
+    trainer-selected K=117. The three separate 256-wide matmuls are
+    already MXU-efficient (M=131k rows; N=256 = 2 lane tiles) and XLA
+    has no per-kernel launch cost to amortize, so the fused variant
+    only ADDS HBM traffic: lane-slicing the [B, N, 3d] output back
+    into the packed attention kernel's three operands, and the pad+add
+    transpose of those slices in the backward. Kept as a tested A/B
+    arm (tests/test_fused_qkv.py)."""
+    import os
+
+    return os.environ.get("VST_FUSED_QKV", "0").lower() in ("1", "true")
+
+
+class _InProj(nn.Module):
+    """Parameter holder for one in-projection leaf of the fused QKV
+    path: registers the same {kernel, bias} subtree (names, shapes,
+    init, RNG path) as the nn.Dense used on the unfused path, without
+    issuing its own matmul."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel", _mha_in_proj_init, (in_features, self.features)
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return kernel, bias
+
+
 def _dense_default_ok(n_q: int, n_kv: int, head_dim: int) -> bool:
     """Default-on gate for the dense whole-row Pallas kernel
     (ops/denseattn.py): TPU backend, dense-eligible shapes, and no
@@ -312,9 +352,35 @@ class MultiHeadAttention(nn.Module):
                 kernel_init=torch_linear_kernel_init,
                 bias_init=nn.initializers.zeros,
             )(out)
-        q = in_proj("query")(inputs_q)
-        k = in_proj("key")(inputs_kv)
-        v = in_proj("value")(inputs_kv)
+        if inputs_q is inputs_kv and _fused_qkv_on():
+            # SELF-attention: q/k/v all project the same activations, so
+            # issue ONE [B, N, d] x [d, 3d] matmul instead of three
+            # MXU-narrow [d, d] ones (reads the input once from HBM and
+            # fills 3x the output lanes per pass; torch fuses
+            # identically via nn.MultiheadAttention.in_proj_weight).
+            # Output stays in the model's [B, N, 3*d_model] lane layout
+            # — the slices below feed the packed kernel directly, no
+            # head-layout permutation (the rejected einsum-to-BHND
+            # variant's failure mode).
+            f_in = inputs_q.shape[-1]
+            wq, bq = _InProj(self.d_model, name="query")(f_in)
+            wk, bk = _InProj(self.d_model, name="key")(f_in)
+            wv, bv = _InProj(self.d_model, name="value")(f_in)
+            w3 = jnp.concatenate([wq, wk, wv], axis=1)
+            b3 = jnp.concatenate([bq, bk, bv])
+            x_in = inputs_q
+            if self.compute_dtype is not None:
+                x_in = x_in.astype(self.compute_dtype)
+                w3 = w3.astype(self.compute_dtype)
+                b3 = b3.astype(self.compute_dtype)
+            qkv = x_in @ w3 + b3
+            q = qkv[..., : self.d_model]
+            k = qkv[..., self.d_model: 2 * self.d_model]
+            v = qkv[..., 2 * self.d_model:]
+        else:
+            q = in_proj("query")(inputs_q)
+            k = in_proj("key")(inputs_kv)
+            v = in_proj("value")(inputs_kv)
         q_flat, k_flat, v_flat = q, k, v   # [B, N, d_model] — the lane-
         # packed kernel consumes this layout directly (no head reshape)
         q = q.reshape(b, n_q, h, d)
