@@ -162,102 +162,171 @@ def _block_case(block_name, cin, torch_fn):
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
 
-def test_block_a_golden():
+def _torch_block_a(x, sd, n):
     import torch
     import torch.nn.functional as F
 
-    def fn(x, sd, n):
-        b1 = _torch_bc(x, sd, f"{n}.branch1x1")
-        b5 = _torch_bc(_torch_bc(x, sd, f"{n}.branch5x5_1"),
-                       sd, f"{n}.branch5x5_2", padding=2)
-        bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
-        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
-        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_3", padding=1)
-        bp = F.avg_pool2d(x, 3, stride=1, padding=1,
-                          count_include_pad=False)
-        bp = _torch_bc(bp, sd, f"{n}.branch_pool")
-        return torch.cat([b1, b5, bd, bp], 1)
+    b1 = _torch_bc(x, sd, f"{n}.branch1x1")
+    b5 = _torch_bc(_torch_bc(x, sd, f"{n}.branch5x5_1"),
+                   sd, f"{n}.branch5x5_2", padding=2)
+    bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
+    bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
+    bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_3", padding=1)
+    bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+    bp = _torch_bc(bp, sd, f"{n}.branch_pool")
+    return torch.cat([b1, b5, bd, bp], 1)
 
-    _block_case("Mixed_5b", 192, fn)
+
+def _torch_block_b(x, sd, n):
+    import torch
+    import torch.nn.functional as F
+
+    b3 = _torch_bc(x, sd, f"{n}.branch3x3", stride=2)
+    bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
+    bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
+    bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_3", stride=2)
+    bp = F.max_pool2d(x, 3, stride=2)
+    return torch.cat([b3, bd, bp], 1)
+
+
+def _torch_block_c(x, sd, n):
+    import torch
+    import torch.nn.functional as F
+
+    b1 = _torch_bc(x, sd, f"{n}.branch1x1")
+    b7 = _torch_bc(x, sd, f"{n}.branch7x7_1")
+    b7 = _torch_bc(b7, sd, f"{n}.branch7x7_2", padding=(0, 3))
+    b7 = _torch_bc(b7, sd, f"{n}.branch7x7_3", padding=(3, 0))
+    bd = _torch_bc(x, sd, f"{n}.branch7x7dbl_1")
+    bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_2", padding=(3, 0))
+    bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_3", padding=(0, 3))
+    bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_4", padding=(3, 0))
+    bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_5", padding=(0, 3))
+    bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+    bp = _torch_bc(bp, sd, f"{n}.branch_pool")
+    return torch.cat([b1, b7, bd, bp], 1)
+
+
+def _torch_block_d(x, sd, n):
+    import torch
+    import torch.nn.functional as F
+
+    b3 = _torch_bc(x, sd, f"{n}.branch3x3_1")
+    b3 = _torch_bc(b3, sd, f"{n}.branch3x3_2", stride=2)
+    b7 = _torch_bc(x, sd, f"{n}.branch7x7x3_1")
+    b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_2", padding=(0, 3))
+    b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_3", padding=(3, 0))
+    b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_4", stride=2)
+    bp = F.max_pool2d(x, 3, stride=2)
+    return torch.cat([b3, b7, bp], 1)
+
+
+def _torch_block_e(x, sd, n):
+    import torch
+    import torch.nn.functional as F
+
+    b1 = _torch_bc(x, sd, f"{n}.branch1x1")
+    b3 = _torch_bc(x, sd, f"{n}.branch3x3_1")
+    b3 = torch.cat([
+        _torch_bc(b3, sd, f"{n}.branch3x3_2a", padding=(0, 1)),
+        _torch_bc(b3, sd, f"{n}.branch3x3_2b", padding=(1, 0)),
+    ], 1)
+    bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
+    bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
+    bd = torch.cat([
+        _torch_bc(bd, sd, f"{n}.branch3x3dbl_3a", padding=(0, 1)),
+        _torch_bc(bd, sd, f"{n}.branch3x3dbl_3b", padding=(1, 0)),
+    ], 1)
+    bp = F.avg_pool2d(x, 3, stride=1, padding=1, count_include_pad=False)
+    bp = _torch_bc(bp, sd, f"{n}.branch_pool")
+    return torch.cat([b1, b3, bd, bp], 1)
+
+
+def test_block_a_golden():
+    _block_case("Mixed_5b", 192, _torch_block_a)
 
 
 def test_block_b_golden():
-    import torch
-    import torch.nn.functional as F
-
-    def fn(x, sd, n):
-        b3 = _torch_bc(x, sd, f"{n}.branch3x3", stride=2)
-        bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
-        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
-        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_3", stride=2)
-        bp = F.max_pool2d(x, 3, stride=2)
-        return torch.cat([b3, bd, bp], 1)
-
-    _block_case("Mixed_6a", 288, fn)
+    _block_case("Mixed_6a", 288, _torch_block_b)
 
 
 def test_block_c_golden():
-    import torch
-    import torch.nn.functional as F
-
-    def fn(x, sd, n):
-        b1 = _torch_bc(x, sd, f"{n}.branch1x1")
-        b7 = _torch_bc(x, sd, f"{n}.branch7x7_1")
-        b7 = _torch_bc(b7, sd, f"{n}.branch7x7_2", padding=(0, 3))
-        b7 = _torch_bc(b7, sd, f"{n}.branch7x7_3", padding=(3, 0))
-        bd = _torch_bc(x, sd, f"{n}.branch7x7dbl_1")
-        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_2", padding=(3, 0))
-        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_3", padding=(0, 3))
-        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_4", padding=(3, 0))
-        bd = _torch_bc(bd, sd, f"{n}.branch7x7dbl_5", padding=(0, 3))
-        bp = F.avg_pool2d(x, 3, stride=1, padding=1,
-                          count_include_pad=False)
-        bp = _torch_bc(bp, sd, f"{n}.branch_pool")
-        return torch.cat([b1, b7, bd, bp], 1)
-
-    _block_case("Mixed_6b", 768, fn)
+    _block_case("Mixed_6b", 768, _torch_block_c)
 
 
 def test_block_d_golden():
-    import torch
-    import torch.nn.functional as F
-
-    def fn(x, sd, n):
-        b3 = _torch_bc(x, sd, f"{n}.branch3x3_1")
-        b3 = _torch_bc(b3, sd, f"{n}.branch3x3_2", stride=2)
-        b7 = _torch_bc(x, sd, f"{n}.branch7x7x3_1")
-        b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_2", padding=(0, 3))
-        b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_3", padding=(3, 0))
-        b7 = _torch_bc(b7, sd, f"{n}.branch7x7x3_4", stride=2)
-        bp = F.max_pool2d(x, 3, stride=2)
-        return torch.cat([b3, b7, bp], 1)
-
-    _block_case("Mixed_7a", 768, fn)
+    _block_case("Mixed_7a", 768, _torch_block_d)
 
 
 def test_block_e_golden():
-    import torch
+    _block_case("Mixed_7b", 1280, _torch_block_e)
+
+
+# ---- preprocessing + full-graph goldens (VERDICT r4 #2) ---------------
+
+def test_resize_matches_pytorch_fid_interpolate():
+    """_resize_bilinear vs pytorch_fid's
+    F.interpolate(mode='bilinear', align_corners=False), upscale AND
+    downscale. Downscale is the case that catches the antialias
+    default: jax.image.resize(antialias=True) deviates by ~0.33 max
+    pixel at 400x320 -> 299x299."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    from vae_song_tpu.ops.inception import _resize_bilinear
+
+    rng = np.random.default_rng(5)
+    for h, w in [(28, 28), (64, 48), (299, 299), (400, 320)]:
+        x = rng.uniform(size=(2, h, w, 3)).astype(np.float32)
+        got = np.asarray(_resize_bilinear(x, 299, 299))
+        want = F.interpolate(
+            torch.from_numpy(x).permute(0, 3, 1, 2), size=(299, 299),
+            mode="bilinear", align_corners=False,
+        ).permute(0, 2, 3, 1).numpy()
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6,
+                                   err_msg=f"resize {h}x{w} -> 299")
+
+
+def test_full_graph_golden():
+    """END-TO-END golden: InceptionV3Features (resize + [-1,1] scaling
+    + stem + all 11 Mixed blocks + global average pool) against a fully
+    independent torch functional composition of the same pool3 graph
+    with the same randomized synthetic weights — catches inter-block
+    wiring slips the per-block goldens cannot see, and pins
+    pytorch_fid's input preprocessing convention ([0,1] images,
+    bilinear 299 resize, then 2x-1)."""
+    torch = pytest.importorskip("torch")
     import torch.nn.functional as F
 
-    def fn(x, sd, n):
-        b1 = _torch_bc(x, sd, f"{n}.branch1x1")
-        b3 = _torch_bc(x, sd, f"{n}.branch3x3_1")
-        b3 = torch.cat([
-            _torch_bc(b3, sd, f"{n}.branch3x3_2a", padding=(0, 1)),
-            _torch_bc(b3, sd, f"{n}.branch3x3_2b", padding=(1, 0)),
-        ], 1)
-        bd = _torch_bc(x, sd, f"{n}.branch3x3dbl_1")
-        bd = _torch_bc(bd, sd, f"{n}.branch3x3dbl_2", padding=1)
-        bd = torch.cat([
-            _torch_bc(bd, sd, f"{n}.branch3x3dbl_3a", padding=(0, 1)),
-            _torch_bc(bd, sd, f"{n}.branch3x3dbl_3b", padding=(1, 0)),
-        ], 1)
-        bp = F.avg_pool2d(x, 3, stride=1, padding=1,
-                          count_include_pad=False)
-        bp = _torch_bc(bp, sd, f"{n}.branch_pool")
-        return torch.cat([b1, b3, bd, bp], 1)
+    sd = _randomized_sd()
+    ex = object.__new__(InceptionV3Features)
+    ex.params = ex._index(sd)
 
-    _block_case("Mixed_7b", 1280, fn)
+    imgs = np.random.default_rng(17).uniform(size=(1, 32, 32, 3)).astype(np.float32)
+    got = np.asarray(ex(imgs))
+    assert got.shape == (1, 2048)
+
+    t = torch.from_numpy(imgs).permute(0, 3, 1, 2)
+    t = F.interpolate(t, size=(299, 299), mode="bilinear",
+                      align_corners=False)
+    t = 2.0 * t - 1.0
+    t = _torch_bc(t, sd, "Conv2d_1a_3x3", stride=2)
+    t = _torch_bc(t, sd, "Conv2d_2a_3x3")
+    t = _torch_bc(t, sd, "Conv2d_2b_3x3", padding=1)
+    t = F.max_pool2d(t, 3, stride=2)
+    t = _torch_bc(t, sd, "Conv2d_3b_1x1")
+    t = _torch_bc(t, sd, "Conv2d_4a_3x3")
+    t = F.max_pool2d(t, 3, stride=2)
+    for blk, fn in [
+        ("Mixed_5b", _torch_block_a), ("Mixed_5c", _torch_block_a),
+        ("Mixed_5d", _torch_block_a), ("Mixed_6a", _torch_block_b),
+        ("Mixed_6b", _torch_block_c), ("Mixed_6c", _torch_block_c),
+        ("Mixed_6d", _torch_block_c), ("Mixed_6e", _torch_block_c),
+        ("Mixed_7a", _torch_block_d), ("Mixed_7b", _torch_block_e),
+        ("Mixed_7c", _torch_block_e),
+    ]:
+        t = fn(t, sd, blk)
+    want = t.mean(dim=(2, 3)).numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
 
 
 def test_stem_golden():

@@ -120,9 +120,17 @@ class _ParamsBox:
 
 
 def _resize_bilinear(x, h, w):
+    """Bilinear resize matching pytorch_fid's
+    F.interpolate(mode='bilinear', align_corners=False): half-pixel
+    centers, NO antialias filter. jax.image.resize defaults to
+    antialias=True, which only differs on DOWNSCALE (inputs larger
+    than 299px) — measured 0.33 max pixel delta at 400x320 vs torch,
+    1.8e-7 with antialias=False (tests/test_inception.py)."""
     import jax.image
 
-    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), "bilinear")
+    return jax.image.resize(
+        x, (x.shape[0], h, w, x.shape[-1]), "bilinear", antialias=False
+    )
 
 
 def _conv(x, bc, stride=1, padding="VALID"):
