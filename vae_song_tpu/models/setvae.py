@@ -29,6 +29,54 @@ from vae_song_tpu.ops.chamfer import best_chamfer
 from vae_song_tpu.ops.attention import MultiHeadAttention
 
 
+def _ffn_fused_on() -> bool:
+    """Opt-in gate (VST_FUSED_FFN=1) for the fused Pallas FFN
+    (ops/ffn.py): the two-Dense ReLU FFN + residual runs as one kernel
+    per direction, keeping the [M, ff_dim] hidden activation in VMEM.
+
+    Default OFF: measured STANDALONE on v5e at the set-model shapes
+    (M=131072, d=256, f=512, bf16 fwd+bwd, scripts/ab_ffn.py, round 5)
+    the fused kernel LOSES at every row block — 1.94 (BM=4096) / 1.96
+    (2048) / 1.98 (1024) / 2.04 (512) / 2.14 (8192) vs 1.785 ms for the
+    XLA two-matmul path, and 0.94 vs 0.64 ms forward-only. XLA is
+    already at the overlapped HBM floor here (its fwd = matmul epilogue
+    fusions + h1 round trip fully hidden behind the MXU), while the
+    Pallas version pays VMEM round trips for the f32 [BM, f] dot
+    intermediates that XLA's epilogue fusion avoids. Kept as a tested
+    A/B arm (tests/test_ffn_kernel.py; in-step lever scripts/
+    ab_ffn_step.py)."""
+    import os
+
+    return os.environ.get("VST_FUSED_FFN", "0").lower() in ("1", "true")
+
+
+def _use_fused_ffn(x, ff_dim: int, dropout_rate: float, train: bool) -> bool:
+    """Route this FFN through ops/ffn.fused_ffn? TPU backend, gate on,
+    dropout-free trace, and kernel-eligible shapes."""
+    if dropout_rate > 0.0 and train:
+        # torch puts dropout on the hidden activation — that needs the
+        # materialized [M, ff_dim] tensor, so those configs stay on XLA
+        return False
+    if jax.default_backend() != "tpu" or not _ffn_fused_on():
+        return False
+    from vae_song_tpu.ops.ffn import fused_ffn_ok
+
+    m = 1
+    for s in x.shape[:-1]:
+        m *= s
+    return fused_ffn_ok(m, x.shape[-1], ff_dim)
+
+
+def _apply_fused_ffn(x, w1, b1, w2, b2, compute_dtype):
+    from vae_song_tpu.ops.ffn import fused_ffn
+
+    cd = compute_dtype or x.dtype
+    return fused_ffn(
+        x.astype(cd), w1.astype(cd), b1.astype(cd),
+        w2.astype(cd), b2.astype(cd),
+    )
+
+
 class TransformerEncoderLayer(nn.Module):
     """torch nn.TransformerEncoderLayer (post-norm, ReLU FFN, dropout on
     attention weights/outputs and inside the FFN)."""
@@ -71,6 +119,18 @@ class TransformerEncoderLayer(nn.Module):
                 local_experts=self.moe_local_experts,
             )(x)
             ff = nn.Dropout(self.dropout_rate)(ff, deterministic=det)
+        elif _use_fused_ffn(x, self.ff_dim, self.dropout_rate, train):
+            # fused Pallas FFN: residual + both matmuls + ReLU in one
+            # kernel per direction (ops/ffn.py). Same param subtree as
+            # the two Dense calls below (params_only registers it), so
+            # checkpoints are interchangeable; dropout is identity on
+            # these traces (gate requires det or rate == 0).
+            w1, b1 = Dense(self.ff_dim, dtype=self.compute_dtype)(
+                x, params_only=True)
+            w2, b2 = Dense(self.d_model, dtype=self.compute_dtype)(
+                jnp.zeros((1, self.ff_dim), x.dtype), params_only=True)
+            y = _apply_fused_ffn(x, w1, b1, w2, b2, self.compute_dtype)
+            return nn.LayerNorm(epsilon=1e-5, dtype=self.compute_dtype)(y)
         else:
             ff = Dense(self.ff_dim, dtype=self.compute_dtype)(x)
             ff = nn.Dropout(self.dropout_rate)(nn.relu(ff), deterministic=det)
@@ -145,6 +205,14 @@ class TransformerDecoderLayer(nn.Module):
         tgt = self.norm2(tgt + ca)
         if self.moe_experts > 0:
             ff = self.moe_ffn(tgt)
+        elif _use_fused_ffn(tgt, self.ff_dim, self.dropout_rate, train):
+            # fused Pallas FFN (see TransformerEncoderLayer): identical
+            # ff_up/ff_down param subtrees via params_only registration
+            w1, b1 = self.ff_up(tgt, params_only=True)
+            w2, b2 = self.ff_down(
+                jnp.zeros((1, self.ff_dim), tgt.dtype), params_only=True)
+            y = _apply_fused_ffn(tgt, w1, b1, w2, b2, self.compute_dtype)
+            return self.norm3(y)
         else:
             ff = self.ff_up(tgt)
             ff = self.drop(nn.relu(ff), deterministic=det)

@@ -26,19 +26,56 @@ def lrelu(x, slope: float = LRELU_SLOPE):
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+class _DenseLeaf(nn.Module):
+    """Registers the exact {kernel, bias} subtree an nn.Dense child
+    would (same names, shapes, initializers, RNG fold path) WITHOUT
+    issuing the matmul — the param-holder half of Dense(params_only=
+    True), used by fused kernels that consume the raw weights
+    (ops/ffn.py). Mirrors ops/attention.py:_InProj."""
+
+    features: int
+    in_features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_linear_kernel_init,
+            (self.in_features, self.features),
+        )
+        bias = (
+            self.param(
+                "bias", torch_bias_init(self.in_features),
+                (self.features,),
+            )
+            if self.use_bias else None
+        )
+        return kernel, bias
+
+
 class Dense(nn.Module):
     """nn.Linear equivalent with torch-default initialization.
 
     `dtype` is the flax compute dtype: params stay f32, the matmul runs
-    in `dtype` (bf16 feeds the v5e MXU at full rate)."""
+    in `dtype` (bf16 feeds the v5e MXU at full rate).
+
+    `params_only=True` registers the identical param subtree and
+    returns the raw (kernel, bias) leaves instead of applying the
+    matmul — for callers that feed the weights to a fused kernel
+    (models/setvae.py's FFN branch -> ops/ffn.py). Checkpoints are
+    interchangeable between the two modes (same tree, same init)."""
 
     features: int
     use_bias: bool = True
     dtype: object = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, params_only: bool = False):
         fan_in = x.shape[-1]
+        if params_only:
+            return _DenseLeaf(
+                self.features, fan_in, self.use_bias, name="Dense_0"
+            )()
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
